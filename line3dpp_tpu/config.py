@@ -1,0 +1,104 @@
+"""Pipeline configuration.
+
+A single frozen dataclass holds every tunable of the TPU-native line-based MVS
+engine.  Default values mirror the reference defaults (reference:
+commons.h:40-100 and the CLI flags in main_vsfm.cpp:44-93) so that running with
+an unmodified ``Config()`` reproduces the reference's golden configuration
+``W_FULL, N_10, sigmaP_2.5, sigmaA_10, epiOverlap_0.25, kNN_10, vis_3``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- feature detection (reference: commons.h:41-45) ---
+    max_image_width: int = -1          # -1 == full resolution
+    min_image_width: int = 800
+    min_line_length_factor: float = 0.005   # fraction of image diagonal
+    max_line_segments: int = 3000
+    load_segments: bool = True         # cache detected 2D segments on disk
+
+    # --- collinearity (reference: commons.h:48) ---
+    collinearity_t: float = -1.0       # <=0 disables collinearity edges
+
+    # --- matching (reference: commons.h:51-56) ---
+    num_neighbors: int = 10
+    epipolar_overlap: float = 0.25
+    knn: int = 10                      # kNN matches kept per (segment, neighbor)
+    sigma_p: float = 2.5               # px if > 0, metric (world units) if < 0
+    sigma_a: float = 10.0              # degrees
+    check_match_orientation: bool = True
+
+    # --- scoring (reference: commons.h:59-61) ---
+    min_similarity_3d: float = 0.50
+    min_best_score_3d: float = 0.75
+    min_best_score_perc: float = 0.10
+
+    # --- replicator dynamics diffusion (reference: commons.h:64-65) ---
+    perform_rdd: bool = False
+    rdd_max_iter: int = 10
+
+    # --- clustering (reference: commons.h:68-69) ---
+    min_affinity: float = 0.50
+    visibility_t: int = 3
+    felzenszwalb_c: float = 3.0        # adaptive threshold constant (line3D.cc:2089)
+
+    # --- bundling / optimization (reference: commons.h:83-88) ---
+    optimize: bool = True              # batched LM line bundling (Ceres-equivalent)
+    max_iter_optim: int = 250
+
+    # --- numerics / TPU execution ---
+    const_regularization_depth: float = -1.0   # used when sigma_p < 0
+    pair_chunk: int = 8                # view pairs processed per device step
+    seg_pad: int = -1                  # pad segments per view; -1 -> max_line_segments
+    match_slots: int = -1              # match slots per segment; -1 -> derived
+    dtype: str = "float32"
+
+    # derived constants (reference: commons.h:95-100)
+    eps: float = 1e-12
+
+    @property
+    def two_sig_a_sqr(self) -> float:
+        sig_a = min(abs(self.sigma_a), 90.0)
+        return 2.0 * sig_a * sig_a
+
+    @property
+    def num_segments(self) -> int:
+        return self.max_line_segments if self.seg_pad <= 0 else self.seg_pad
+
+    @property
+    def knn_effective(self) -> int:
+        """kNN slots per (segment, pair); kNN<=0 means keep all (capped)."""
+        return self.knn if self.knn > 0 else 32
+
+    @property
+    def num_match_slots(self) -> int:
+        """Total match slots per segment across all neighbor pairs."""
+        if self.match_slots > 0:
+            return self.match_slots
+        return self.num_neighbors * self.knn_effective
+
+    def filename_tag(self, width: int = -1) -> str:
+        """Parameter-encoding output filename, mirroring line3D.cc:2855-2894."""
+        w = "FULL" if width <= 0 else str(width)
+        tag = (
+            f"Line3D-TPU__W_{w}__N_{self.num_neighbors}"
+            f"__sigmaP_{self.sigma_p:g}__sigmaA_{self.sigma_a:g}"
+            f"__epiOverlap_{self.epipolar_overlap:g}__kNN_{self.knn}"
+        )
+        if self.perform_rdd:
+            tag += "__DIFFUSION"
+        if self.optimize:
+            tag += "__OPTIMIZED"
+        tag += f"__vis_{self.visibility_t}"
+        if self.collinearity_t > 0:
+            tag += f"__collin_{self.collinearity_t:g}"
+        return tag
+
+
+PI_1_32 = math.pi / 32.0      # reference: commons.h:99
+PI_31_32 = math.pi * 31 / 32  # reference: commons.h:100

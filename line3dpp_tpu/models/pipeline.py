@@ -1,0 +1,474 @@
+"""Line3D pipeline orchestrator.
+
+The TPU-native equivalent of the reference's ``L3DPP::Line3D`` class
+(reference: line3D.h:61-424): owns views, runs the three phases
+
+    [1] view ingestion  ->  [2] line matching  ->  [3] reconstruction
+
+and writes the resulting 3D line model.  Unlike the reference's
+mutex-guarded incremental state (line3D.h:358-417), all device state is
+immutable batched tensors; the host keeps only small bookkeeping (ids,
+neighbor graphs, cluster lists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, CameraBatch, fundamental_matrix, median_center_translation
+from ..config import Config
+from ..ops import affinity as affinity_ops
+from ..ops import clustering as clustering_ops
+from ..ops import fitting as fitting_ops
+from ..ops import geometry as geo
+from ..ops import matching as matching_ops
+from ..ops import scoring as scoring_ops
+from ..ops import sweep as sweep_ops
+from ..utils.writers import FinalLine3D, save_bin, save_obj, save_stl, save_txt
+
+EPS = 1e-12
+
+
+@dataclasses.dataclass
+class _ViewEntry:
+    cam_id: int
+    camera: Camera
+    segments: np.ndarray     # (n, 4) float
+    worldpoints: list | None
+
+
+class Line3D:
+    """End-to-end line-based MVS pipeline."""
+
+    def __init__(self, config: Config | None = None):
+        self.config = config or Config()
+        self._views: dict[int, _ViewEntry] = {}
+        self._fixed_neighbors: dict[int, list[int]] = {}
+        self.lines3d: list[FinalLine3D] = []
+        self._last_state: dict = {}
+
+    # ------------------------------------------------------------------
+    # phase 1: view ingestion (reference: addImage line3D.cc:112-227)
+    # ------------------------------------------------------------------
+    def add_view(
+        self,
+        cam_id: int,
+        camera: Camera,
+        segments: np.ndarray,
+        worldpoints: Sequence[int] | None = None,
+    ) -> None:
+        """Register a view with precomputed 2D segments (the
+        ``line_segments`` path of addImage, reference: line3D.h:104-108)."""
+        segments = np.asarray(segments, dtype=np.float64).reshape(-1, 4)
+        # min-length filter + keep longest max_line_segments
+        # (reference: line3D.cc:320-360)
+        lengths = np.hypot(segments[:, 2] - segments[:, 0], segments[:, 3] - segments[:, 1])
+        min_len = camera.diagonal * self.config.min_line_length_factor
+        segments = segments[lengths >= min_len]
+        lengths = lengths[lengths >= min_len]
+        if len(segments) > self.config.max_line_segments:
+            keep = np.argsort(-lengths, kind="stable")[: self.config.max_line_segments]
+            keep.sort()
+            segments = segments[keep]
+        self._views[cam_id] = _ViewEntry(cam_id, camera, segments,
+                                         list(worldpoints) if worldpoints is not None else None)
+
+    def add_image(self, cam_id: int, camera: Camera, image: np.ndarray,
+                  worldpoints: Sequence[int] | None = None,
+                  cache_dir: str | None = None) -> None:
+        """Register a view, detecting 2D segments with the TPU LSD detector
+        (reference: line3D.cc:249-372)."""
+        from ..ops import lsd as lsd_ops
+        from ..utils import segments_cache
+
+        segs = None
+        if cache_dir and self.config.load_segments:
+            segs = segments_cache.load(cache_dir, cam_id, image.shape,
+                                       self.config.max_line_segments)
+        if segs is None:
+            segs = lsd_ops.detect(image, max_width=self.config.max_image_width)
+            if cache_dir and self.config.load_segments:
+                segments_cache.store(cache_dir, cam_id, image.shape,
+                                     self.config.max_line_segments, segs)
+        self.add_view(cam_id, camera, segs, worldpoints)
+
+    def set_visual_neighbors(self, cam_id: int, neighbors: Sequence[int]) -> None:
+        """Explicit neighbor list (reference: line3D.cc:230-246)."""
+        self._fixed_neighbors[cam_id] = list(neighbors)
+
+    # ------------------------------------------------------------------
+    # phase 2 + 3
+    # ------------------------------------------------------------------
+    def match_images(self) -> None:
+        cfg = self.config
+        cam_ids = sorted(self._views)
+        V = len(cam_ids)
+        if V == 0:
+            raise ValueError("no views added")
+        S = cfg.num_segments
+        N = max(cfg.num_neighbors, 2)
+        k = cfg.knn_effective
+
+        id2idx = {c: i for i, c in enumerate(cam_ids)}
+        cams = [self._views[c].camera for c in cam_ids]
+
+        # median-centering for float32 stability (line3D.cc:500-536)
+        translation = median_center_translation(cams)
+        fixed_reg = cfg.sigma_p < 0
+        med_scene_depth = cfg.const_regularization_depth
+        if fixed_reg and med_scene_depth < 0:
+            depths = sorted(c.median_depth for c in cams)
+            med_scene_depth = depths[len(depths) // 2]
+        cb = CameraBatch.from_cameras(
+            cams, cfg.sigma_p, translation,
+            med_scene_depth if fixed_reg else None, fixed_reg,
+        )
+
+        # dense segment tensors
+        segs = np.zeros((V, S, 4), np.float32)
+        mask = np.zeros((V, S), bool)
+        for i, c in enumerate(cam_ids):
+            sv = self._views[c].segments[:S]
+            segs[i, : len(sv)] = sv
+            mask[i, : len(sv)] = True
+
+        # visual neighbors -> (V, N) neighbor table + pair validity
+        nbr_lists = self._visual_neighbors(cam_ids, cams, N)
+        neighbor_ids = np.zeros((V, N), np.int32)
+        pair_valid = np.zeros((V, N), bool)
+        for i, c in enumerate(cam_ids):
+            nl = [id2idx[n] for n in nbr_lists[c] if n in id2idx][:N]
+            neighbor_ids[i, : len(nl)] = nl
+            pair_valid[i, : len(nl)] = True
+
+        # fundamental matrices per (view, neighbor slot), host f64
+        F = np.zeros((V, N, 3, 3), np.float32)
+        centered = [Camera(c.K, c.R, -c.R @ (c.C - translation), c.width, c.height)
+                    for c in cams]
+        for i in range(V):
+            for g in range(N):
+                if pair_valid[i, g]:
+                    F[i, g] = fundamental_matrix(centered[i], centered[neighbor_ids[i, g]])
+
+        # --- device: matching over all pairs, chunked ---
+        d_segs = jnp.asarray(segs)
+        d_mask = jnp.asarray(mask)
+        d_RtKinv = jnp.asarray(cb.RtKinv)
+        d_C = jnp.asarray(cb.C)
+
+        src_idx = np.repeat(np.arange(V, dtype=np.int32), N)
+        tgt_idx = neighbor_ids.reshape(-1)
+        flatF = F.reshape(-1, 3, 3)
+        flat_pv = pair_valid.reshape(-1)
+
+        P = V * N
+        chunk = max(cfg.pair_chunk, 1)
+        match_fn = jax.jit(
+            lambda si, ti, Fp, pv: matching_ops.match_pairs_batched(
+                d_segs, d_mask, d_RtKinv, d_C, si, ti, Fp, pv,
+                cfg.epipolar_overlap, k,
+            )
+        )
+        outs = []
+        pad = (-P) % chunk
+        if pad:
+            src_idx = np.concatenate([src_idx, np.zeros(pad, np.int32)])
+            tgt_idx = np.concatenate([tgt_idx, np.zeros(pad, np.int32)])
+            flatF = np.concatenate([flatF, np.zeros((pad, 3, 3), np.float32)])
+            flat_pv = np.concatenate([flat_pv, np.zeros(pad, bool)])
+        for s in range(0, P + pad, chunk):
+            outs.append(
+                match_fn(
+                    jnp.asarray(src_idx[s : s + chunk]),
+                    jnp.asarray(tgt_idx[s : s + chunk]),
+                    jnp.asarray(flatF[s : s + chunk]),
+                    jnp.asarray(flat_pv[s : s + chunk]),
+                )
+            )
+        cat = lambda xs: jnp.concatenate(xs, axis=0)[:P]
+        m_tgt_seg = cat([o.tgt_seg for o in outs]).reshape(V, N, S, k)
+        m_overlap = cat([o.overlap for o in outs]).reshape(V, N, S, k)
+        m_depths = cat([o.depths for o in outs]).reshape(V, N, S, k, 4)
+        m_valid = cat([o.valid for o in outs]).reshape(V, N, S, k)
+
+        # regroup: (V, N, S, k) -> (V, S, M) with neighbor-grouped M axis
+        M = N * k
+        tr = lambda x: jnp.moveaxis(x, 1, 2).reshape(V, S, M, *x.shape[4:])
+        t_seg = tr(m_tgt_seg)
+        t_valid = tr(m_valid)
+        t_depths = tr(m_depths)
+
+        # --- device: scoring ---
+        r1, r2 = geo.segment_rays(d_RtKinv[:, None], d_segs)
+        mid = 0.5 * (d_segs[..., 0:2] + d_segs[..., 2:4])
+        rmid = geo.rays_from_pixels(d_RtKinv[:, None], mid)
+
+        d_nbr = jnp.asarray(neighbor_ids)
+        scored = scoring_ops.score_matches(
+            r1, r2, rmid, jnp.asarray(cb.C), jnp.asarray(cb.k_reg), d_nbr,
+            t_depths[..., 0], t_depths[..., 1], t_valid,
+            knn=k, two_sig_a_sqr=cfg.two_sig_a_sqr,
+            min_similarity=cfg.min_similarity_3d,
+            check_orientation=cfg.check_match_orientation,
+        )
+
+        fm = affinity_ops.filter_matches(
+            r1, r2, jnp.asarray(cb.C), scored.score3d, scored.valid,
+            t_depths[..., 0], t_depths[..., 1],
+            cfg.min_best_score_3d, cfg.min_best_score_perc,
+        )
+
+        # per-view median depth of kept best matches (line3D.cc:1657-1668)
+        est_valid = np.asarray(fm.est_valid)
+        est_d = np.stack([np.asarray(fm.est_d1), np.asarray(fm.est_d2)], -1)
+        median_depth = np.full(V, EPS, np.float32)
+        for i in range(V):
+            dvals = est_d[i][est_valid[i]].reshape(-1)
+            if dvals.size:
+                median_depth[i] = np.sort(dvals)[dvals.size // 2]
+
+        self._last_state = dict(
+            cam_ids=cam_ids, cams=cams, translation=translation,
+            cb=cb, segs=segs, mask=mask, neighbor_ids=neighbor_ids,
+            r1=r1, r2=r2, t_seg=t_seg, t_depths=t_depths,
+            scored=scored, fm=fm, median_depth=median_depth,
+            med_scene_depth=med_scene_depth, fixed_reg=fixed_reg,
+        )
+
+    def reconstruct_3d_lines(self) -> list[FinalLine3D]:
+        cfg = self.config
+        st = self._last_state
+        if not st:
+            raise RuntimeError("call match_images() first")
+        cam_ids, cb, fm = st["cam_ids"], st["cb"], st["fm"]
+        V, S = st["mask"].shape
+        visibility = max(cfg.visibility_t, 3)
+
+        # median scene depth over views (line3D.cc:1758-1774)
+        meds = np.sort(st["median_depth"][st["median_depth"] > EPS])
+        med_scene_depth_lines = float(meds[len(meds) // 2]) if len(meds) else 0.0
+
+        # --- device: affinity weights ---
+        aff = affinity_ops.affinity_dense(
+            fm, st["t_seg"], jnp.asarray(st["neighbor_ids"]),
+            jnp.asarray(cb.k_reg), jnp.asarray(st["median_depth"]),
+            med_scene_depth_lines, cfg.two_sig_a_sqr, cfg.min_affinity,
+        )
+
+        # --- host: edge extraction + dedup (line3D.cc:1881-1899) ---
+        w = np.asarray(aff.weight)
+        ev = np.asarray(aff.edge_valid)
+        tv = np.asarray(aff.tgt_view)
+        ts = np.asarray(aff.tgt_seg)
+        src_v, src_s, slot = np.nonzero(ev)
+        gid_a = src_v * S + src_s
+        gid_b = tv[src_v, src_s, slot].astype(np.int64) * S + ts[src_v, src_s, slot]
+        ww = w[src_v, src_s, slot]
+        lo = np.minimum(gid_a, gid_b)
+        hi = np.maximum(gid_a, gid_b)
+        _, first = np.unique(lo * (V * S) + hi, return_index=True)
+        lo, hi, ww = lo[first], hi[first], ww[first]
+
+        if len(ww) == 0:
+            self.lines3d = []
+            return self.lines3d
+
+        # local node ids for nodes that appear in edges
+        nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+        li = inv[: len(lo)].astype(np.int32)
+        lj = inv[len(lo) :].astype(np.int32)
+
+        # both directions, as the reference pushes symmetric entries
+        ei = np.concatenate([li, lj])
+        ej = np.concatenate([lj, li])
+        ew = np.concatenate([ww, ww]).astype(np.float32)
+
+        labels = clustering_ops.cluster_edges(ei, ej, ew, len(nodes), cfg.felzenszwalb_c)
+
+        # --- group nodes into clusters with >= visibility distinct cameras ---
+        node_view = (nodes // S).astype(np.int32)
+        node_seg = (nodes % S).astype(np.int32)
+        uniq_labels, label_inv = np.unique(labels, return_inverse=True)
+        n_clusters = len(uniq_labels)
+        # distinct cams per cluster
+        pairs = np.unique(np.stack([label_inv, node_view], 1), axis=0)
+        cams_per_cluster = np.bincount(pairs[:, 0], minlength=n_clusters)
+        keep_cluster = cams_per_cluster >= visibility
+        cluster_remap = np.cumsum(keep_cluster) - 1
+        member_ok = keep_cluster[label_inv]
+
+        mc = cluster_remap[label_inv[member_ok]].astype(np.int32)   # member cluster
+        mv = node_view[member_ok]
+        ms = node_seg[member_ok]
+        C = int(keep_cluster.sum())
+        if C == 0:
+            self.lines3d = []
+            return self.lines3d
+
+        # --- device: batched line fit from member hypothesis endpoints ---
+        estP1 = np.asarray(fm.est_P1)
+        estP2 = np.asarray(fm.est_P2)
+        pts = np.concatenate([estP1[mv, ms], estP2[mv, ms]], axis=0)
+        pt_cluster = np.concatenate([mc, mc])
+        lines = fitting_ops.fit_lines(jnp.asarray(pts), jnp.asarray(pt_cluster), C)
+        lineP1 = np.asarray(lines.P1)
+        lineP2 = np.asarray(lines.P2)
+        line_dir = lineP2 - lineP1
+        line_dir /= np.maximum(np.linalg.norm(line_dir, axis=-1, keepdims=True), EPS)
+
+        # optional bundling of the cluster lines (reference: optimization.cc)
+        if cfg.optimize:
+            lineP1, lineP2, line_dir = self._optimize_lines(
+                lineP1, lineP2, mc, mv, ms, C, st)
+
+        # --- device: project member segments onto their cluster lines ---
+        r1 = np.asarray(st["r1"])
+        r2 = np.asarray(st["r2"])
+        s1, s2, ok = fitting_ops.project_members_onto_lines(
+            jnp.asarray(lineP1[mc]), jnp.asarray(line_dir[mc]),
+            jnp.asarray(cb.C[mv]), jnp.asarray(r1[mv, ms]), jnp.asarray(r2[mv, ms]),
+        )
+        s1 = np.asarray(s1); s2 = np.asarray(s2); ok = np.asarray(ok)
+
+        # --- host: interval sweep (line3D.cc:2342-2452) ---
+        intervals = sweep_ops.sweep_all(mc, s1, s2, ok, mv, C, visibility)
+
+        # reference view per cluster = camera of longest member 2D segment
+        # (line3D.cc:2183-2189)
+        seg2d = st["segs"]
+        lens2d = np.hypot(
+            seg2d[mv, ms, 2] - seg2d[mv, ms, 0], seg2d[mv, ms, 3] - seg2d[mv, ms, 1]
+        )
+        ref_view = np.zeros(C, np.int32)
+        best_len = np.full(C, -1.0)
+        for idx in range(len(mc)):
+            c = mc[idx]
+            if lens2d[idx] > best_len[c]:
+                best_len[c] = lens2d[idx]
+                ref_view[c] = mv[idx]
+
+        # --- assemble + tiny-segment filter (line3D.cc:2302-2339) ---
+        translation = st["translation"]
+        cams = st["cams"]
+        lines_out: list[FinalLine3D] = []
+        order = np.argsort(mc, kind="stable")
+        bounds = np.searchsorted(mc[order], np.arange(C + 1))
+        for c in range(C):
+            if not intervals[c]:
+                continue
+            cam = cams[ref_view[c]]
+            min_len = cam.diagonal * cfg.min_line_length_factor
+            segs3d = []
+            for (sa, sb) in intervals[c]:
+                # back to original world coordinates (untranslate,
+                # line3D.cc:539-545)
+                Pa = lineP1[c] + sa * line_dir[c] + translation
+                Pb = lineP1[c] + sb * line_dir[c] + translation
+                # tiny filter: projected length in the reference view
+                uv = cam.project(np.stack([Pa, Pb]))
+                if np.linalg.norm(uv[0] - uv[1]) > min_len:
+                    segs3d.append(np.concatenate([Pa, Pb]))
+            if not segs3d:
+                continue
+            members = order[bounds[c] : bounds[c + 1]]
+            residuals = np.zeros((len(members), 6))
+            for ri, midx in enumerate(members):
+                v, s = mv[midx], ms[midx]
+                residuals[ri] = [cam_ids[v], s, *seg2d[v, s]]
+            lines_out.append(FinalLine3D(np.stack(segs3d), residuals))
+
+        self.lines3d = lines_out
+        return lines_out
+
+    # ------------------------------------------------------------------
+    def _optimize_lines(self, lineP1, lineP2, mc, mv, ms, C, st):
+        """Bundle the cluster lines (Ceres-equivalent batched LM).
+        Implemented in ops/bundling.py; reference: optimization.cc:8-303."""
+        from ..ops import bundling as bundling_ops
+
+        return bundling_ops.optimize_cluster_lines(
+            lineP1, lineP2, mc, mv, ms, C, st, self.config)
+
+    # ------------------------------------------------------------------
+    def _visual_neighbors(self, cam_ids, cams, N) -> dict[int, list[int]]:
+        """Worldpoint-overlap neighbor selection with baseline-diversity
+        re-ranking (reference: findVisualNeighborsFromWPs line3D.cc:578-699),
+        or fixed lists when provided (line3D.cc:230-246)."""
+        out: dict[int, list[int]] = {}
+        have_wps = all(self._views[c].worldpoints is not None for c in cam_ids)
+        wp2views: dict[int, list[int]] = {}
+        if have_wps:
+            for c in cam_ids:
+                for wp in self._views[c].worldpoints:
+                    wp2views.setdefault(wp, []).append(c)
+
+        for ci, c in enumerate(cam_ids):
+            if c in self._fixed_neighbors:
+                out[c] = [n for n in self._fixed_neighbors[c] if n in self._views]
+                continue
+            if not have_wps:
+                # geometric fallback: nearest cameras by center distance
+                dists = [
+                    (np.linalg.norm(cams[ci].C - cams[cj].C), cam_ids[cj])
+                    for cj in range(len(cam_ids)) if cj != ci
+                ]
+                dists.sort()
+                out[c] = [cid for _, cid in dists[:N]]
+                continue
+
+            common: dict[int, int] = {}
+            for wp in self._views[c].worldpoints:
+                for v2 in wp2views.get(wp, []):
+                    if v2 != c:
+                        common[v2] = common.get(v2, 0) + 1
+            cand = []
+            v = cams[ci]
+            nwp_c = len(self._views[c].worldpoints)
+            for v2_id, n_common in common.items():
+                v2 = cams[cam_ids.index(v2_id)]
+                axis_angle = float(
+                    np.arccos(np.clip(v.optical_axis() @ v2.optical_axis(), -1, 1))
+                )
+                if axis_angle < 1.571 and n_common > 4:
+                    score = 2.0 * n_common / (nwp_c + len(self._views[v2_id].worldpoints))
+                    Ct = v.R @ v2.C + v.t
+                    dist_score = abs(Ct[0]) + abs(Ct[1])
+                    cand.append((score, dist_score, v2_id))
+            cand.sort(key=lambda x: -x[0])
+            if len(cand) > N:
+                score_t = 0.80 * cand[0][0]
+                big = [x for x in cand if x[0] > score_t]
+                big.sort(key=lambda x: -x[1])
+                merged = big[: N // 2] + cand
+            else:
+                merged = cand
+            used: list[int] = []
+            for _, _, v2_id in merged:
+                if len(used) >= N:
+                    break
+                v2 = cams[cam_ids.index(v2_id)]
+                if v2_id not in used and np.linalg.norm(v.C - v2.C) > 0.1:
+                    used.append(v2_id)
+            out[c] = used
+        return out
+
+    # ------------------------------------------------------------------
+    # output writers (reference: line3D.cc:2465-2711)
+    # ------------------------------------------------------------------
+    def save_txt(self, path: str) -> None:
+        save_txt(path, self.lines3d)
+
+    def save_stl(self, path: str) -> None:
+        save_stl(path, self.lines3d)
+
+    def save_obj(self, path: str) -> None:
+        save_obj(path, self.lines3d)
+
+    def save_bin(self, path: str) -> None:
+        save_bin(path, self.lines3d)

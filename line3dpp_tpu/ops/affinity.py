@@ -1,0 +1,172 @@
+"""Match filtering, best-hypothesis selection, and affinity edge computation.
+
+Filtering (reference: filterMatches line3D.cc:1586-1669): matches must score
+at least 10% of the view's best score; the best match per segment (if above
+0.75) becomes that segment's *estimated 3D position*, and the median of the
+kept best-match depths becomes the view's regularization depth.
+
+Affinity (reference: computingAffinityMatrix line3D.cc:1852-1979 and
+similarity line3D.cc:1449-1553): for every segment with an estimate and every
+of its kept matches whose target segment also has an estimate, a symmetric
+similarity of the two 3D hypotheses (angle + mutual point-to-line distances
+with depth-cutoff regularizers) yields a sparse edge when > 0.5.
+
+TPU-first design: everything is a dense masked [V, S, M] computation; edges
+are extracted on the host from the returned weight/mask tensors (the
+downstream union-find is sequential anyway, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+EPS = 1e-12
+
+
+class FilteredMatches(NamedTuple):
+    kept: jnp.ndarray         # (V, S, M) bool — survives the 10%-of-max cut
+    best_slot: jnp.ndarray    # (V, S) int32 — argmax score slot
+    est_valid: jnp.ndarray    # (V, S) bool — best score > 0.75
+    est_P1: jnp.ndarray       # (V, S, 3) hypothesis endpoints
+    est_P2: jnp.ndarray       # (V, S, 3)
+    est_d1: jnp.ndarray       # (V, S) best-match depth 1
+    est_d2: jnp.ndarray       # (V, S) best-match depth 2
+    max_score: jnp.ndarray    # (V,)
+
+
+def filter_matches(
+    r1: jnp.ndarray,          # (V, S, 3)
+    r2: jnp.ndarray,          # (V, S, 3)
+    C: jnp.ndarray,           # (V, 3)
+    score3d: jnp.ndarray,     # (V, S, M)
+    valid: jnp.ndarray,       # (V, S, M)
+    d_p1: jnp.ndarray,        # (V, S, M)
+    d_p2: jnp.ndarray,        # (V, S, M)
+    min_best_score: float = 0.75,
+    min_best_score_perc: float = 0.10,
+) -> FilteredMatches:
+    score = jnp.where(valid, score3d, 0.0)
+    max_score = jnp.max(score, axis=(1, 2))                      # (V,)
+    lim = (min_best_score_perc * max_score)[:, None, None]
+    kept = valid & (score > 0.0) & (score > lim)
+
+    best_slot = jnp.argmax(jnp.where(kept, score, 0.0), axis=-1)  # (V, S)
+    best_score = jnp.take_along_axis(score, best_slot[..., None], axis=-1)[..., 0]
+    est_valid = kept.any(-1) & (best_score > min_best_score)
+
+    # segments whose best match is not good enough lose ALL their matches
+    # (line3D.cc:1648-1652)
+    kept = kept & est_valid[..., None]
+
+    bd1 = jnp.take_along_axis(d_p1, best_slot[..., None], axis=-1)[..., 0]
+    bd2 = jnp.take_along_axis(d_p2, best_slot[..., None], axis=-1)[..., 0]
+    est_P1 = C[:, None, :] + r1 * bd1[..., None]
+    est_P2 = C[:, None, :] + r2 * bd2[..., None]
+
+    return FilteredMatches(
+        kept=kept,
+        best_slot=best_slot.astype(jnp.int32),
+        est_valid=est_valid,
+        est_P1=est_P1,
+        est_P2=est_P2,
+        est_d1=bd1,
+        est_d2=bd2,
+        max_score=max_score,
+    )
+
+
+class AffinityDense(NamedTuple):
+    weight: jnp.ndarray       # (V, S, M) f32 similarity of (seg, match-target)
+    edge_valid: jnp.ndarray   # (V, S, M) bool
+    tgt_view: jnp.ndarray     # (V, S, M) int32 global view idx of the target
+    tgt_seg: jnp.ndarray      # (V, S, M) int32
+
+
+def affinity_dense(
+    fm: FilteredMatches,
+    tgt_seg: jnp.ndarray,       # (V, S, M) int32 — per-match target segment
+    neighbor_ids: jnp.ndarray,  # (V, N) int32 — group g target view
+    k_reg: jnp.ndarray,         # (V,)
+    median_depth: jnp.ndarray,  # (V,) per-view regularization depth
+    med_scene_depth_lines: float,
+    two_sig_a_sqr: float,
+    min_affinity: float = 0.5,
+) -> AffinityDense:
+    """Similarity of each (segment-estimate, match-target-estimate) pair
+    (reference: line3D.cc:1449-1553, called from 1873-1899)."""
+    V, S, M = tgt_seg.shape
+    N = neighbor_ids.shape[1]
+    k = M // N
+
+    tview = jnp.repeat(neighbor_ids, k, axis=1)[:, None, :]     # (V, 1, M)
+    tview = jnp.broadcast_to(tview, (V, S, M))
+
+    # gather the target segments' estimates
+    g = lambda x: x[tview, tgt_seg]                             # adv. indexing
+    P1b, P2b = g(fm.est_P1), g(fm.est_P2)                       # (V, S, M, 3)
+    d1b, d2b = g(fm.est_d1), g(fm.est_d2)                       # (V, S, M)
+    validb = g(fm.est_valid)
+
+    # own estimates, broadcast over M
+    P1a, P2a = fm.est_P1[:, :, None, :], fm.est_P2[:, :, None, :]
+    d1a, d2a = fm.est_d1[..., None], fm.est_d2[..., None]
+
+    dira = P2a - P1a
+    lena = jnp.linalg.norm(dira, axis=-1, keepdims=True)
+    dira = dira / jnp.maximum(lena, EPS)
+    dirb = P2b - P1b
+    lenb = jnp.linalg.norm(dirb, axis=-1, keepdims=True)
+    dirb = dirb / jnp.maximum(lenb, EPS)
+
+    ok = (
+        fm.est_valid[..., None]
+        & validb
+        & fm.kept
+        & (lena[..., 0] > EPS)
+        & (lenb[..., 0] > EPS)
+    )
+
+    # angular similarity (line3D.cc:1487-1489)
+    dot = jnp.clip(jnp.sum(dira * dirb, axis=-1), -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(dot))
+    ang = jnp.where(ang > 90.0, 180.0 - ang, ang)
+    sim_a = jnp.exp(-ang * ang / two_sig_a_sqr)
+
+    # depth-cutoff regularizers (line3D.cc:1491-1536):
+    # sig = min(depth, cutoff) * k_view,  cutoff = min(median_depth, scene med)
+    cut_a = median_depth[:, None, None]
+    cut_b = median_depth[tview]
+    if med_scene_depth_lines > EPS:
+        cut_a = jnp.minimum(cut_a, med_scene_depth_lines)
+        cut_b = jnp.minimum(cut_b, med_scene_depth_lines)
+    k_a = k_reg[:, None, None]
+    k_b = k_reg[tview]
+    sig11 = jnp.minimum(d1a, cut_a) * k_a
+    sig12 = jnp.minimum(d2a, cut_a) * k_a
+    sig21 = jnp.minimum(d1b, cut_b) * k_b
+    sig22 = jnp.minimum(d2b, cut_b) * k_b
+
+    # mutual point-to-line distances (line3D.cc:1501-1505)
+    def p2l(P, L0, Ld):
+        w = P - L0
+        return jnp.linalg.norm(w - jnp.sum(w * Ld, -1, keepdims=True) * Ld, axis=-1)
+
+    d11 = p2l(P1a, P1b, dirb)   # dist of own P1 to target line
+    d12 = p2l(P2a, P1b, dirb)
+    d21 = p2l(P1b, P1a, dira)
+    d22 = p2l(P2b, P1a, dira)
+
+    expf = lambda d, sig: jnp.exp(-d * d / jnp.maximum(2.0 * sig * sig, EPS))
+    sim_p1 = jnp.minimum(expf(d11, sig11), expf(d12, sig12))
+    sim_p2 = jnp.minimum(expf(d21, sig21), expf(d22, sig22))
+    sim = jnp.minimum(sim_a, jnp.minimum(sim_p1, sim_p2))
+
+    edge_valid = ok & (sim > min_affinity)
+    return AffinityDense(
+        weight=jnp.where(edge_valid, sim, 0.0),
+        edge_valid=edge_valid,
+        tgt_view=tview.astype(jnp.int32),
+        tgt_seg=tgt_seg.astype(jnp.int32),
+    )

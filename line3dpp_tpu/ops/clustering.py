@@ -1,0 +1,112 @@
+"""Graph clustering over the sparse affinity matrix.
+
+Felzenszwalb/Huttenlocher-style union-find with an adaptive per-component
+threshold (reference: clustering.cc:6-48, universe.h:49-104; invoked with
+c = 3.0 from line3D.cc:2089).  Edges are processed in ascending weight order;
+components a, b merge when ``w <= threshold[a] && w <= threshold[b]``, after
+which ``threshold[root] = w + c / size``.
+
+This stage is inherently sequential and tiny compared to matching/scoring
+(SURVEY.md §7.1), so it runs on the host.  A C++ fast path (native/unionfind)
+is used when built; the numpy/python fallback is always available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def _native_lib():
+    global _LIB
+    if _LIB is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "native", "libl3dnative.so")
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            lib.l3d_cluster.restype = ctypes.c_int
+            lib.l3d_cluster.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            _LIB = lib
+        else:
+            _LIB = False
+    return _LIB or None
+
+
+def cluster_edges(
+    i: np.ndarray, j: np.ndarray, w: np.ndarray, num_nodes: int, c: float = 3.0
+) -> np.ndarray:
+    """Cluster nodes given symmetric sparse edges; returns root label per node.
+
+    Mirrors performClustering (clustering.cc:6-48).  Edge order within equal
+    weights follows the input order (std::list::sort is stable).
+    """
+    i = np.ascontiguousarray(i, dtype=np.int32)
+    j = np.ascontiguousarray(j, dtype=np.int32)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+
+    order = np.argsort(w, kind="stable")
+    i, j, w = i[order], j[order], w[order]
+
+    lib = _native_lib()
+    if lib is not None:
+        labels = np.empty(num_nodes, dtype=np.int32)
+        ret = lib.l3d_cluster(
+            i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            j.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(w),
+            num_nodes,
+            c,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if ret == 0:
+            return labels
+
+    return _cluster_python(i, j, w, num_nodes, c)
+
+
+def _cluster_python(i, j, w, num_nodes: int, c: float) -> np.ndarray:
+    parent = np.arange(num_nodes, dtype=np.int64)
+    rank = np.zeros(num_nodes, dtype=np.int32)
+    size = np.ones(num_nodes, dtype=np.int64)
+    threshold = np.full(num_nodes, c, dtype=np.float64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        parent[x] = root      # single-step compression as universe.h:70-78
+        return root
+
+    for ii, jj, ww in zip(i.tolist(), j.tolist(), w.tolist()):
+        a = find(ii)
+        b = find(jj)
+        if a == b:
+            continue
+        if ww <= threshold[a] and ww <= threshold[b]:
+            # join by rank (universe.h:82-97)
+            if rank[a] > rank[b]:
+                parent[b] = a
+                size[a] += size[b]
+                root = a
+            else:
+                parent[a] = b
+                size[b] += size[a]
+                if rank[a] == rank[b]:
+                    rank[b] += 1
+                root = b
+            threshold[root] = ww + c / size[root]
+
+    return np.array([find(x) for x in range(num_nodes)], dtype=np.int32)

@@ -1,0 +1,105 @@
+"""Golden-output parsing and tolerance metrics.
+
+The reference ships golden reconstructions for its bundled testdata
+(`testdata/Line3D++_ref/*.txt`, format documented in reference README.md:272-277):
+each row is one 3D line::
+
+    n  P1x P1y P1z Q1x Q1y Q1z ... (n 3D segments)
+    m  camID segID p1x p1y q1x q1y ... (m 2D residuals)
+
+Since kNN tie-breaking and parallel edge ordering make the reference itself
+non-bit-reproducible, parity is measured with recall/precision between 3D
+segment sets under a distance tolerance (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GoldenLine:
+    segments3d: np.ndarray    # (n, 6) [P|Q]
+    residuals: np.ndarray     # (m, 6) [camID segID p1x p1y q1x q1y]
+
+
+def parse_lines3d_txt(path: str) -> list[GoldenLine]:
+    lines = []
+    with open(path) as f:
+        for row in f:
+            vals = row.split()
+            if not vals:
+                continue
+            n = int(vals[0])
+            seg = np.array(vals[1 : 1 + 6 * n], dtype=np.float64).reshape(n, 6)
+            off = 1 + 6 * n
+            m = int(vals[off])
+            res = np.array(vals[off + 1 : off + 1 + 6 * m], dtype=np.float64).reshape(m, 6)
+            lines.append(GoldenLine(segments3d=seg, residuals=res))
+    return lines
+
+
+def _sample_points(segments: np.ndarray, samples_per_seg: int = 8) -> np.ndarray:
+    """Uniformly sample points along each 3D segment (N,6) -> (N*s, 3)."""
+    p = segments[:, :3]
+    q = segments[:, 3:]
+    ts = np.linspace(0.0, 1.0, samples_per_seg)[None, :, None]
+    pts = p[:, None, :] * (1 - ts) + q[:, None, :] * ts
+    return pts.reshape(-1, 3)
+
+
+def _point_to_segments_dist(points: np.ndarray, segments: np.ndarray,
+                            chunk: int = 2048) -> np.ndarray:
+    """Min distance of each point (N,3) to any segment (M,6) -> (N,)."""
+    p = segments[:, :3]
+    d = segments[:, 3:] - p
+    len2 = np.maximum((d * d).sum(-1), 1e-18)
+    out = np.full(points.shape[0], np.inf)
+    for s in range(0, points.shape[0], chunk):
+        pts = points[s : s + chunk]
+        w = pts[:, None, :] - p[None, :, :]
+        t = np.clip((w * d[None]).sum(-1) / len2[None], 0.0, 1.0)
+        closest = p[None] + t[..., None] * d[None]
+        dist = np.linalg.norm(pts[:, None, :] - closest, axis=-1)
+        out[s : s + chunk] = dist.min(axis=1)
+    return out
+
+
+def segment_set_metrics(
+    pred: np.ndarray,
+    gold: np.ndarray,
+    tol: float,
+    samples_per_seg: int = 8,
+) -> dict:
+    """Symmetric coverage metrics between two 3D segment sets (N,6)/(M,6).
+
+    recall    = fraction of golden segment length within `tol` of a prediction
+    precision = fraction of predicted segment length within `tol` of golden
+    """
+    if len(pred) == 0 or len(gold) == 0:
+        return {"recall": 0.0, "precision": 0.0, "f1": 0.0}
+    gold_pts = _sample_points(gold, samples_per_seg)
+    pred_pts = _sample_points(pred, samples_per_seg)
+    # length-weight each sample by its segment length / samples
+    gold_w = np.repeat(np.linalg.norm(gold[:, 3:] - gold[:, :3], axis=1), samples_per_seg)
+    pred_w = np.repeat(np.linalg.norm(pred[:, 3:] - pred[:, :3], axis=1), samples_per_seg)
+
+    d_gold = _point_to_segments_dist(gold_pts, pred)
+    d_pred = _point_to_segments_dist(pred_pts, gold)
+
+    recall = float((gold_w * (d_gold < tol)).sum() / max(gold_w.sum(), 1e-12))
+    precision = float((pred_w * (d_pred < tol)).sum() / max(pred_w.sum(), 1e-12))
+    f1 = 2 * recall * precision / max(recall + precision, 1e-12)
+    return {"recall": recall, "precision": precision, "f1": f1}
+
+
+def stack_golden_segments(lines: list[GoldenLine]) -> np.ndarray:
+    return np.concatenate([l.segments3d for l in lines], axis=0)
+
+
+def scene_scale(segments: np.ndarray) -> float:
+    """Characteristic scene size: diagonal of the segment bounding box."""
+    pts = np.concatenate([segments[:, :3], segments[:, 3:]], axis=0)
+    return float(np.linalg.norm(pts.max(0) - pts.min(0)))
