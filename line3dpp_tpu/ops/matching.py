@@ -186,6 +186,44 @@ def _safe(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(x) > EPS, x, EPS)
 
 
+def match_pairs_chunked(
+    segments: jnp.ndarray,    # (V, S, 4)
+    seg_mask: jnp.ndarray,    # (V, S)
+    RtKinv: jnp.ndarray,      # (V, 3, 3)
+    C: jnp.ndarray,           # (V, 3)
+    src_idx: jnp.ndarray,     # (P,) int32
+    tgt_idx: jnp.ndarray,     # (P,) int32
+    F: jnp.ndarray,           # (P, 3, 3)
+    pair_valid: jnp.ndarray,  # (P,) bool
+    epipolar_overlap: float,
+    knn: int,
+    chunk: int = 8,
+) -> PairMatches:
+    """Like :func:`match_pairs_batched` but processes the pair axis in
+    fixed-size chunks under ``lax.map`` so the (chunk, S, S) intermediates
+    bound HBM use — the TPU equivalent of the reference's 3072-row GPU buffer
+    tiling (cudawrapper.cu:570-586, cudawrapper.h:46-47)."""
+    P = src_idx.shape[0]
+    pad = (-P) % chunk
+    if pad:
+        padz = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        src_idx, tgt_idx, F = padz(src_idx), padz(tgt_idx), padz(F)
+        pair_valid = jnp.concatenate([pair_valid, jnp.zeros(pad, bool)])
+
+    n_chunks = (P + pad) // chunk
+    reshape = lambda x: x.reshape(n_chunks, chunk, *x.shape[1:])
+    args = (reshape(src_idx), reshape(tgt_idx), reshape(F), reshape(pair_valid))
+
+    out = jax.lax.map(
+        lambda a: match_pairs_batched(
+            segments, seg_mask, RtKinv, C, *a, epipolar_overlap, knn),
+        args,
+    )
+    unpad = lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:P]
+    return PairMatches(*(unpad(x) for x in out))
+
+
 def match_pairs_batched(
     segments: jnp.ndarray,    # (V, S, 4)
     seg_mask: jnp.ndarray,    # (V, S)

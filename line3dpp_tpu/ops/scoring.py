@@ -121,13 +121,23 @@ def score_matches(
     min_similarity: float = 0.5,
     check_orientation: bool = True,
     chunk: int = 1024,
+    C_table: jnp.ndarray | None = None,
+    k_table: jnp.ndarray | None = None,
 ) -> ScoredMatches:
+    """When the view axis is sharded, ``C``/``k_reg``/``r*`` are the local
+    shard while ``C_table``/``k_table`` are the replicated global tables used
+    to resolve the (global) ``neighbor_ids``; they default to the local arrays
+    in the unsharded case."""
     V, S, M = d_p1.shape
     N = neighbor_ids.shape[1]
     assert M == N * knn, "match slots must be neighbor-grouped: M == N*k"
 
-    tgt_C = C[neighbor_ids]       # (V, N, 3)
-    tgt_k = k_reg[neighbor_ids]   # (V, N)
+    if C_table is None:
+        C_table = C
+    if k_table is None:
+        k_table = k_reg
+    tgt_C = C_table[neighbor_ids]       # (V, N, 3)
+    tgt_k = k_table[neighbor_ids]       # (V, N)
 
     # flatten the (V, S) axes; broadcast per-view data per segment
     VS = V * S
