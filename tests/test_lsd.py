@@ -1,0 +1,92 @@
+"""LSD detector tests.
+
+Unit: synthetic images with known line segments must be recovered within
+tolerance.  Statistical parity vs a reference detector (OpenCV LSD) runs on a
+real testdata image and is marked slow (reference has no unit tests at all;
+SURVEY.md §4 defines this strategy).
+"""
+
+import numpy as np
+import pytest
+
+from line3dpp_tpu.ops import lsd
+
+
+def _draw_segment(img, p, q, value=200.0, thickness=1.0):
+    """Rasterize a bright anti-aliased segment onto a dark image."""
+    H, W = img.shape
+    n = int(np.hypot(*(np.subtract(q, p))) * 3) + 1
+    ts = np.linspace(0, 1, n)
+    for t in ts:
+        x = p[0] * (1 - t) + q[0] * t
+        y = p[1] * (1 - t) + q[1] * t
+        xi, yi = int(round(x)), int(round(y))
+        r = int(np.ceil(thickness))
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                yy, xx = yi + dy, xi + dx
+                if 0 <= yy < H and 0 <= xx < W:
+                    d = np.hypot(xx - x, yy - y)
+                    w = max(0.0, 1.0 - max(0.0, d - thickness + 1.0))
+                    img[yy, xx] = max(img[yy, xx], value * w)
+    return img
+
+
+def _seg_distance(found, p, q, samples=7):
+    """Max distance of true segment sample points to the closest found seg."""
+    ts = np.linspace(0, 1, samples)[:, None]
+    pts = np.array(p)[None] * (1 - ts) + np.array(q)[None] * ts
+    a = found[:, :2]
+    d = found[:, 2:] - a
+    len2 = np.maximum((d * d).sum(-1), 1e-12)
+    w = pts[:, None, :] - a[None]
+    t = np.clip((w * d[None]).sum(-1) / len2[None], 0, 1)
+    cl = a[None] + t[..., None] * d[None]
+    return np.linalg.norm(pts[:, None] - cl, axis=-1).min(1).max()
+
+
+def test_detects_synthetic_lines():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 8, size=(160, 200)).astype(np.float32)  # noise floor
+    truth = [
+        ((20.0, 30.0), (180.0, 35.0)),
+        ((30.0, 140.0), (170.0, 60.0)),
+        ((100.0, 20.0), (105.0, 150.0)),
+    ]
+    for p, q in truth:
+        _draw_segment(img, p, q)
+
+    segs = lsd.detect(img)
+    assert len(segs) >= 3
+    for p, q in truth:
+        assert _seg_distance(segs, p, q) < 4.0, f"missed segment {p}->{q}"
+
+
+def test_downscale_coords_match_original():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 8, size=(200, 300)).astype(np.float32)
+    _draw_segment(img, (30.0, 50.0), (270.0, 60.0))
+    segs = lsd.detect(img, max_width=150)
+    assert len(segs) >= 1
+    # coordinates must be reported at original resolution
+    assert _seg_distance(segs, (30.0, 50.0), (270.0, 60.0)) < 8.0
+
+
+@pytest.mark.slow
+def test_statistical_parity_with_opencv():
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open("/root/reference/testdata/img000055.jpg").convert("L"))
+    segs = lsd.detect(img)
+    ref = cv2.createLineSegmentDetector().detect(img)[0].reshape(-1, 4)
+
+    la = np.hypot(ref[:, 2] - ref[:, 0], ref[:, 3] - ref[:, 1])
+    long_ref = ref[la >= 50].astype(np.float64)
+
+    covered = 0
+    for seg in long_ref:
+        if _seg_distance(segs, seg[:2], seg[2:]) < 5.0:
+            covered += 1
+    assert covered / len(long_ref) > 0.85

@@ -1,0 +1,92 @@
+"""End-to-end golden validation on the bundled testdata sequence.
+
+Runs the full TPU pipeline — LSD detection, epipolar matching, scoring,
+clustering, sweep — on the reference's 26 testdata images with cameras
+recovered from the golden reconstruction (tools/resect_testdata_cameras.py,
+because the upstream vsfm_result.nvm is missing, SURVEY.md §6), then scores
+3D recall/precision against `testdata/Line3D++_ref/*.txt`.
+
+Usage:  PYTHONPATH=/root/.axon_site:/root/repo python tools/run_testdata.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import line3dpp_tpu as l3d
+from line3dpp_tpu.utils.golden import (
+    parse_lines3d_txt, scene_scale, segment_set_metrics, stack_golden_segments,
+)
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+IMG_DIR = "/root/reference/testdata"
+GOLDEN_DIR = os.path.join(IMG_DIR, "Line3D++_ref")
+CAMS = os.path.join(REPO, "testdata", "cameras_testdata.json")
+CACHE = os.path.join(REPO, "testdata", "L3D_cache")
+
+
+def main():
+    from PIL import Image
+
+    cams = json.load(open(CAMS))
+    cfg = l3d.Config(optimize=False)
+    pipe = l3d.Line3D(cfg)
+
+    t0 = time.time()
+    for cam_id in sorted(cams, key=int):
+        c = cams[cam_id]
+        cam = l3d.Camera(np.array(c["K"]), np.array(c["R"]), np.array(c["t"]),
+                         c["width"], c["height"])
+        img = np.asarray(Image.open(os.path.join(IMG_DIR, c["image"])).convert("L"))
+        pipe.add_image(int(cam_id), cam, img, cache_dir=CACHE)
+        print(f"  view {cam_id}: {len(pipe._views[int(cam_id)].segments)} segments")
+    t_detect = time.time() - t0
+
+    t0 = time.time()
+    pipe.match_images()
+    t_match = time.time() - t0
+
+    t0 = time.time()
+    lines = pipe.reconstruct_3d_lines()
+    t_recon = time.time() - t0
+
+    print(f"detect {t_detect:.1f}s  match {t_match:.1f}s  reconstruct {t_recon:.1f}s")
+    print(f"reconstructed {len(lines)} 3D lines")
+
+    out_dir = os.path.join(REPO, "testdata", "out")
+    os.makedirs(out_dir, exist_ok=True)
+    tag = cfg.filename_tag()
+    pipe.save_txt(os.path.join(out_dir, tag + ".txt"))
+    pipe.save_stl(os.path.join(out_dir, tag + ".stl"))
+    pipe.save_obj(os.path.join(out_dir, tag + ".obj"))
+
+    golden_txt = os.path.join(
+        GOLDEN_DIR,
+        "Line3D++__W_FULL__N_10__sigmaP_2.5__sigmaA_10__epiOverlap_0.25"
+        "__kNN_10__vis_3.txt",
+    )
+    gold = stack_golden_segments(parse_lines3d_txt(golden_txt))
+    pred = (np.concatenate([l.segments3d for l in lines])
+            if lines else np.zeros((0, 6)))
+    tol = 0.01 * scene_scale(gold)
+    m = segment_set_metrics(pred, gold, tol=tol)
+    print(f"golden lines: {len(gold)} segments | predicted: {len(pred)} segments")
+    print(f"tol={tol:.3f} (1% of scene scale)")
+    print("metrics vs golden:", {k: round(v, 4) for k, v in m.items()})
+    return m
+
+
+if __name__ == "__main__":
+    main()
