@@ -270,6 +270,27 @@ class Line3D:
         gid_a = src_v * S + src_s
         gid_b = tv[src_v, src_s, slot].astype(np.int64) * S + ts[src_v, src_s, slot]
         ww = w[src_v, src_s, slot]
+
+        # optional collinearity edges: same-view collinear segment pairs with
+        # consistent 3D estimates (reference: line3D.cc:1904-1974)
+        if cfg.collinearity_t > 0:
+            from ..ops import collinearity as collin_ops
+
+            collin = collin_ops.collinear_pairs(
+                jnp.asarray(st["segs"]), jnp.asarray(st["mask"]),
+                float(cfg.collinearity_t))
+            cw, cedge = collin_ops.collinear_similarity(
+                fm.est_P1, fm.est_P2, fm.est_d1, fm.est_d2, fm.est_valid,
+                collin, jnp.asarray(cb.k_reg),
+                jnp.asarray(st["median_depth"]),
+                float(med_scene_depth_lines), cfg.min_affinity)
+            cv_, cs1, cs2 = np.nonzero(np.asarray(cedge))
+            keep_dir = cs1 < cs2          # undirected: keep one direction
+            cv_, cs1, cs2 = cv_[keep_dir], cs1[keep_dir], cs2[keep_dir]
+            gid_a = np.concatenate([gid_a, cv_ * S + cs1])
+            gid_b = np.concatenate([gid_b, (cv_ * S + cs2).astype(np.int64)])
+            ww = np.concatenate([ww, np.asarray(cw)[cv_, cs1, cs2]])
+
         lo = np.minimum(gid_a, gid_b)
         hi = np.maximum(gid_a, gid_b)
         _, first = np.unique(lo * (V * S) + hi, return_index=True)
@@ -283,6 +304,14 @@ class Line3D:
         nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
         li = inv[: len(lo)].astype(np.int32)
         lj = inv[len(lo) :].astype(np.int32)
+
+        # optional replicator-dynamics diffusion sharpens the affinities
+        # before clustering (reference: performRDD line3D.cc:2026-2076)
+        if cfg.perform_rdd:
+            from ..ops import rdd as rdd_ops
+
+            ww = rdd_ops.rdd_edges(li, lj, ww.astype(np.float32), len(nodes),
+                                   iterations=cfg.rdd_max_iter)
 
         # both directions, as the reference pushes symmetric entries
         ei = np.concatenate([li, lj])
