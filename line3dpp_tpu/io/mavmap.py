@@ -1,0 +1,65 @@
+"""mavmap `image-data-*.txt` reader (reference executable: main_mavmap.cpp).
+
+Rows: `name, roll, pitch, yaw, lat, lon, alt, h, tx, ty, tz` (csv with
+comment lines).  Rotation from roll/pitch/yaw, then [R|t] inverted to
+world->cam (main_mavmap.cpp:206-226).  mavmap scenes use a PINHOLE
+calibration passed explicitly and *sequential* visual neighbors
+(main_mavmap.cpp:311-321) — the caller wires those via
+``Line3D.set_visual_neighbors``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ..camera import rotation_from_rpy
+from .types import SfMView
+
+
+def read_mavmap(data_path: str, image_dir: str, K: np.ndarray,
+                image_ext: str = ".jpg") -> list[SfMView]:
+    if os.path.isdir(data_path):
+        cands = sorted(glob.glob(os.path.join(data_path, "image-data-*.txt")))
+        if not cands:
+            raise FileNotFoundError(f"no image-data-*.txt under {data_path}")
+        data_path = cands[-1]
+
+    views: list[SfMView] = []
+    cam_id = 0
+    for line in open(data_path):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = [p.strip() for p in line.replace(",", " ").split()]
+        name = parts[0]
+        roll, pitch, yaw = map(float, parts[1:4])
+        tx, ty, tz = map(float, parts[8:11])
+
+        # mavmap stores cam->world; invert to world->cam
+        Rcw = rotation_from_rpy(roll, pitch, yaw)
+        Ccw = np.array([tx, ty, tz])
+        R = Rcw.T
+        t = -R @ Ccw
+
+        if not os.path.splitext(name)[1]:
+            name += image_ext
+        views.append(SfMView(
+            cam_id=cam_id, K=np.asarray(K, np.float64).copy(), R=R, t=t,
+            image_path=os.path.join(image_dir, name),
+            distortion=None, worldpoints=None,
+        ))
+        cam_id += 1
+    return views
+
+
+def sequential_neighbors(n_views: int, window: int = 10) -> dict[int, list[int]]:
+    """Sequential-capture neighbor window (main_mavmap.cpp:311-321)."""
+    out = {}
+    for i in range(n_views):
+        nbrs = [j for d in range(1, window + 1) for j in (i - d, i + d)
+                if 0 <= j < n_views]
+        out[i] = nbrs[: window]
+    return out

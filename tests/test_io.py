@@ -1,0 +1,157 @@
+"""SfM reader tests on synthetic files (formats per reference executables:
+main_vsfm.cpp, main_colmap.cpp, main_bundler.cpp, main_openmvg.cpp)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from line3dpp_tpu import io as sfm_io
+from line3dpp_tpu.camera import rotation_from_quaternion
+
+
+def test_read_nvm(tmp_path):
+    nvm = tmp_path / "result.nvm"
+    nvm.write_text(
+        "NVM_V3\n\n2\n"
+        "img0.jpg 1000 1 0 0 0  1 2 3  0.05 0\n"
+        "img1.jpg 1100 0.9238795 0 0.3826834 0  4 5 6  0 0\n"
+        "\n2\n"
+        "0 0 10  255 0 0  2  0 0 5 5  1 0 6 6\n"
+        "1 1 12  0 255 0  1  0 1 7 7\n"
+    )
+    views = sfm_io.read_nvm(str(nvm))
+    assert len(views) == 2
+    v0 = views[0]
+    assert v0.K[0, 0] == 1000
+    np.testing.assert_allclose(v0.R, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(v0.t, -np.array([1, 2, 3]), atol=1e-12)  # t=-RC
+    assert v0.worldpoints == [0, 1]
+    assert views[1].worldpoints == [0]
+    assert v0.distortion[0] == -0.05
+    # median depth of cam0: z of (0,0,10)->7 and (1,1,12)->9 => 8
+    assert v0.median_depth == pytest.approx(8.0)
+
+
+def test_read_colmap(tmp_path):
+    (tmp_path / "cameras.txt").write_text(
+        "# comment\n"
+        "1 PINHOLE 640 480 500 510 320 240\n"
+        "2 SIMPLE_RADIAL 640 480 520 320 240 0.1\n"
+    )
+    q = [0.9238795, 0.0, 0.3826834, 0.0]
+    (tmp_path / "images.txt").write_text(
+        "# comment\n"
+        f"7 {q[0]} {q[1]} {q[2]} {q[3]} 0.1 0.2 0.3 1 a.jpg\n"
+        "1 1 -1\n"
+        "8 1 0 0 0 0 0 1 2 b.jpg\n"
+        "\n"
+    )
+    (tmp_path / "points3D.txt").write_text(
+        "# comment\n"
+        "5 0 0 10 255 255 255 0.5 7 1 8 1\n"
+    )
+    views = sfm_io.read_colmap(str(tmp_path), "/imgs")
+    assert [v.cam_id for v in views] == [7, 8]
+    np.testing.assert_allclose(views[0].R, rotation_from_quaternion(q), atol=1e-7)
+    assert views[0].K[0, 0] == 500 and views[0].K[1, 1] == 510
+    assert views[1].K[0, 0] == 520 and views[1].distortion[0] == 0.1
+    assert views[0].worldpoints == [5] and views[1].worldpoints == [5]
+    assert views[1].median_depth == pytest.approx(11.0)
+
+
+def test_read_bundler(tmp_path):
+    bundle = tmp_path / "bundle.rd.out"
+    bundle.write_text(
+        "# Bundle file v0.3\n"
+        "1 1\n"
+        "800 0.01 0.001\n"
+        "1 0 0\n0 1 0\n0 0 1\n"
+        "1 2 3\n"
+        "0 0 -10\n255 255 255\n1 0 0 1.5 2.5\n"
+    )
+    for n in ["a.jpg"]:
+        (tmp_path / n).write_bytes(b"")
+    views = sfm_io.read_bundler(str(bundle), str(tmp_path))
+    assert len(views) == 1
+    v = views[0]
+    # y/z rows are sign-flipped
+    np.testing.assert_allclose(v.R, np.diag([1.0, -1.0, -1.0]))
+    np.testing.assert_allclose(v.t, [1.0, -2.0, -3.0])
+    assert v.K[0, 0] == 800
+    assert v.worldpoints == [0]
+
+
+def test_read_openmvg(tmp_path):
+    data = {
+        "root_path": "/imgs",
+        "views": [{
+            "key": 0,
+            "value": {"ptr_wrapper": {"data": {
+                "id_view": 0, "id_pose": 0, "id_intrinsic": 0,
+                "filename": "a.jpg", "local_path": "", "width": 640,
+                "height": 480,
+            }}},
+        }],
+        "intrinsics": [{
+            "key": 0,
+            "value": {"ptr_wrapper": {"data": {
+                "focal_length": 900.0, "principal_point": [320.0, 240.0],
+                "width": 640, "height": 480, "disto_k1": [0.02],
+            }}},
+        }],
+        "extrinsics": [{
+            "key": 0,
+            "value": {"rotation": np.eye(3).tolist(),
+                      "center": [1.0, 0.0, 0.0]},
+        }],
+        "structure": [{
+            "key": 11,
+            "value": {"X": [0.0, 0.0, 9.0],
+                      "observations": [{"key": 0, "value": {}}]},
+        }],
+    }
+    p = tmp_path / "sfm_data.json"
+    p.write_text(json.dumps(data))
+    views = sfm_io.read_openmvg(str(p))
+    assert len(views) == 1
+    v = views[0]
+    assert v.K[0, 0] == 900
+    np.testing.assert_allclose(v.t, [-1.0, 0.0, 0.0])
+    assert v.worldpoints == [11]
+    assert v.median_depth == pytest.approx(9.0)
+
+
+def test_read_mavmap(tmp_path):
+    data = tmp_path / "image-data-1.txt"
+    data.write_text(
+        "# header\n"
+        "img0, 0, 0, 0, 47.0, 15.0, 100, 0, 1, 2, 3\n"
+    )
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    views = sfm_io.read_mavmap(str(data), str(tmp_path), K)
+    assert len(views) == 1
+    np.testing.assert_allclose(views[0].R, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(views[0].t, [-1, -2, -3], atol=1e-12)
+
+    from line3dpp_tpu.io.mavmap import sequential_neighbors
+
+    nbrs = sequential_neighbors(5, window=4)
+    assert nbrs[0] == [1, 2, 3, 4]
+    assert set(nbrs[2]) == {0, 1, 3, 4}
+
+
+def test_undistort_identity_and_shift():
+    from line3dpp_tpu.ops.undistort import undistort_image
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, size=(48, 64)).astype(np.float32)
+    K = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]])
+    out = undistort_image(img, K, np.zeros(5))
+    np.testing.assert_allclose(out, img, atol=1e-3)
+
+    # small radial distortion must move off-center pixels, keep center fixed
+    out2 = undistort_image(img, K, np.array([0.1, 0, 0, 0, 0]))
+    assert abs(float(out2[24, 32]) - float(img[24, 32])) < 2.0
+    assert not np.allclose(out2, img)
