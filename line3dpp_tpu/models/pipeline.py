@@ -27,8 +27,6 @@ from ..ops import affinity as affinity_ops
 from ..ops import clustering as clustering_ops
 from ..ops import fitting as fitting_ops
 from ..ops import geometry as geo
-from ..ops import matching as matching_ops
-from ..ops import scoring as scoring_ops
 from ..ops import sweep as sweep_ops
 from ..utils.writers import FinalLine3D, save_bin, save_obj, save_stl, save_txt
 
@@ -138,12 +136,25 @@ class Line3D:
             segs[i, : len(sv)] = sv
             mask[i, : len(sv)] = True
 
-        # visual neighbors -> (V, N) neighbor table + pair validity
+        # visual neighbors -> (V, N) neighbor table + pair validity.
+        # The relation is symmetrized: the reference propagates every match
+        # back to the target view (storeInverseMatches, line3D.cc:1672-1699),
+        # so a view's match table covers pairs where it is the *target* too.
         nbr_lists = self._visual_neighbors(cam_ids, cams, N)
+        nbr_sets: dict[int, list[int]] = {
+            c: [id2idx[n] for n in nbr_lists[c] if n in id2idx][:N]
+            for c in cam_ids
+        }
+        for i, c in enumerate(cam_ids):
+            for j in nbr_sets[c]:
+                back = nbr_sets[cam_ids[j]]
+                if i not in back:
+                    back.append(i)
+        N = max(N, max((len(v) for v in nbr_sets.values()), default=N))
         neighbor_ids = np.zeros((V, N), np.int32)
         pair_valid = np.zeros((V, N), bool)
         for i, c in enumerate(cam_ids):
-            nl = [id2idx[n] for n in nbr_lists[c] if n in id2idx][:N]
+            nl = nbr_sets[c]
             neighbor_ids[i, : len(nl)] = nl
             pair_valid[i, : len(nl)] = True
 
@@ -156,88 +167,49 @@ class Line3D:
                 if pair_valid[i, g]:
                     F[i, g] = fundamental_matrix(centered[i], centered[neighbor_ids[i, g]])
 
-        # --- device: matching over all pairs, chunked ---
+        # --- device: one fused step (matching -> scoring -> filtering ->
+        # affinity + per-view medians); see models/step.py ---
+        from .step import forward_step
+
         d_segs = jnp.asarray(segs)
         d_mask = jnp.asarray(mask)
         d_RtKinv = jnp.asarray(cb.RtKinv)
         d_C = jnp.asarray(cb.C)
-
-        src_idx = np.repeat(np.arange(V, dtype=np.int32), N)
-        tgt_idx = neighbor_ids.reshape(-1)
-        flatF = F.reshape(-1, 3, 3)
-        flat_pv = pair_valid.reshape(-1)
-
-        P = V * N
-        chunk = max(cfg.pair_chunk, 1)
-        match_fn = jax.jit(
-            lambda si, ti, Fp, pv: matching_ops.match_pairs_batched(
-                d_segs, d_mask, d_RtKinv, d_C, si, ti, Fp, pv,
-                cfg.epipolar_overlap, k,
-            )
-        )
-        outs = []
-        pad = (-P) % chunk
-        if pad:
-            src_idx = np.concatenate([src_idx, np.zeros(pad, np.int32)])
-            tgt_idx = np.concatenate([tgt_idx, np.zeros(pad, np.int32)])
-            flatF = np.concatenate([flatF, np.zeros((pad, 3, 3), np.float32)])
-            flat_pv = np.concatenate([flat_pv, np.zeros(pad, bool)])
-        for s in range(0, P + pad, chunk):
-            outs.append(
-                match_fn(
-                    jnp.asarray(src_idx[s : s + chunk]),
-                    jnp.asarray(tgt_idx[s : s + chunk]),
-                    jnp.asarray(flatF[s : s + chunk]),
-                    jnp.asarray(flat_pv[s : s + chunk]),
-                )
-            )
-        cat = lambda xs: jnp.concatenate(xs, axis=0)[:P]
-        m_tgt_seg = cat([o.tgt_seg for o in outs]).reshape(V, N, S, k)
-        m_overlap = cat([o.overlap for o in outs]).reshape(V, N, S, k)
-        m_depths = cat([o.depths for o in outs]).reshape(V, N, S, k, 4)
-        m_valid = cat([o.valid for o in outs]).reshape(V, N, S, k)
-
-        # regroup: (V, N, S, k) -> (V, S, M) with neighbor-grouped M axis
-        M = N * k
-        tr = lambda x: jnp.moveaxis(x, 1, 2).reshape(V, S, M, *x.shape[4:])
-        t_seg = tr(m_tgt_seg)
-        t_valid = tr(m_valid)
-        t_depths = tr(m_depths)
-
-        # --- device: scoring ---
-        r1, r2 = geo.segment_rays(d_RtKinv[:, None], d_segs)
-        mid = 0.5 * (d_segs[..., 0:2] + d_segs[..., 2:4])
-        rmid = geo.rays_from_pixels(d_RtKinv[:, None], mid)
-
         d_nbr = jnp.asarray(neighbor_ids)
-        scored = scoring_ops.score_matches(
-            r1, r2, rmid, jnp.asarray(cb.C), jnp.asarray(cb.k_reg), d_nbr,
-            t_depths[..., 0], t_depths[..., 1], t_valid,
-            knn=k, two_sig_a_sqr=cfg.two_sig_a_sqr,
+
+        out = forward_step(
+            d_segs, d_mask, d_RtKinv, d_C, jnp.asarray(cb.k_reg),
+            d_nbr, jnp.asarray(F), jnp.asarray(pair_valid),
+            epipolar_overlap=cfg.epipolar_overlap, knn=k,
+            two_sig_a_sqr=cfg.two_sig_a_sqr,
             min_similarity=cfg.min_similarity_3d,
             check_orientation=cfg.check_match_orientation,
+            min_best_score=cfg.min_best_score_3d,
+            min_best_score_perc=cfg.min_best_score_perc,
+            min_affinity=cfg.min_affinity,
+            pair_chunk=max(cfg.pair_chunk, 1),
         )
 
-        fm = affinity_ops.filter_matches(
-            r1, r2, jnp.asarray(cb.C), scored.score3d, scored.valid,
-            t_depths[..., 0], t_depths[..., 1],
-            cfg.min_best_score_3d, cfg.min_best_score_perc,
+        fm = affinity_ops.FilteredMatches(
+            kept=out.kept, best_slot=jnp.zeros_like(out.tgt_seg[..., 0]),
+            est_valid=out.est_valid, est_P1=out.est_P1, est_P2=out.est_P2,
+            est_d1=out.est_d1, est_d2=out.est_d2,
+            max_score=jnp.zeros((V,), jnp.float32),
         )
-
-        # per-view median depth of kept best matches (line3D.cc:1657-1668)
-        est_valid = np.asarray(fm.est_valid)
-        est_d = np.stack([np.asarray(fm.est_d1), np.asarray(fm.est_d2)], -1)
-        median_depth = np.full(V, EPS, np.float32)
-        for i in range(V):
-            dvals = est_d[i][est_valid[i]].reshape(-1)
-            if dvals.size:
-                median_depth[i] = np.sort(dvals)[dvals.size // 2]
+        tview = jnp.broadcast_to(
+            jnp.repeat(d_nbr, k, axis=1)[:, None, :], out.tgt_seg.shape)
+        aff = affinity_ops.AffinityDense(
+            weight=out.aff_weight, edge_valid=out.aff_valid,
+            tgt_view=tview, tgt_seg=out.tgt_seg,
+        )
+        r1, r2 = geo.segment_rays(d_RtKinv[:, None], d_segs)
+        median_depth = np.asarray(out.median_depth)
 
         self._last_state = dict(
             cam_ids=cam_ids, cams=cams, translation=translation,
             cb=cb, segs=segs, mask=mask, neighbor_ids=neighbor_ids,
-            r1=r1, r2=r2, t_seg=t_seg, t_depths=t_depths,
-            scored=scored, fm=fm, median_depth=median_depth,
+            r1=r1, r2=r2, t_seg=out.tgt_seg, aff=aff,
+            fm=fm, median_depth=median_depth,
             med_scene_depth=med_scene_depth, fixed_reg=fixed_reg,
         )
 
@@ -254,22 +226,20 @@ class Line3D:
         meds = np.sort(st["median_depth"][st["median_depth"] > EPS])
         med_scene_depth_lines = float(meds[len(meds) // 2]) if len(meds) else 0.0
 
-        # --- device: affinity weights ---
-        aff = affinity_ops.affinity_dense(
-            fm, st["t_seg"], jnp.asarray(st["neighbor_ids"]),
-            jnp.asarray(cb.k_reg), jnp.asarray(st["median_depth"]),
-            med_scene_depth_lines, cfg.two_sig_a_sqr, cfg.min_affinity,
-        )
+        # affinity weights were produced by the fused device step
+        aff = st["aff"]
 
-        # --- host: edge extraction + dedup (line3D.cc:1881-1899) ---
-        w = np.asarray(aff.weight)
-        ev = np.asarray(aff.edge_valid)
-        tv = np.asarray(aff.tgt_view)
-        ts = np.asarray(aff.tgt_seg)
-        src_v, src_s, slot = np.nonzero(ev)
+        # --- edge extraction: device-side compaction, then host dedup
+        # (line3D.cc:1881-1899).  Only O(E) bytes cross to the host.
+        M = aff.weight.shape[2]
+        n_edges = affinity_ops.count_edges(aff.edge_valid)
+        cap = max(1 << (n_edges - 1).bit_length() if n_edges else 1, 1024)
+        idx, okm, ww, tv_e, ts_e = affinity_ops.compact_edges(aff, cap)
+        idx, ww, tv_e, ts_e = idx[okm], ww[okm], tv_e[okm], ts_e[okm]
+        src_v = (idx // (S * M)).astype(np.int64)
+        src_s = (idx // M) % S
         gid_a = src_v * S + src_s
-        gid_b = tv[src_v, src_s, slot].astype(np.int64) * S + ts[src_v, src_s, slot]
-        ww = w[src_v, src_s, slot]
+        gid_b = tv_e.astype(np.int64) * S + ts_e
 
         # optional collinearity edges: same-view collinear segment pairs with
         # consistent 3D estimates (reference: line3D.cc:1904-1974)

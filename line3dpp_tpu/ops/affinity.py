@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-12
@@ -75,6 +78,40 @@ def filter_matches(
         est_d2=bd2,
         max_score=max_score,
     )
+
+
+def count_edges(edge_valid: jnp.ndarray) -> int:
+    """Number of valid affinity edges (single-scalar device->host read)."""
+    return int(jnp.sum(edge_valid))
+
+
+def _compact_impl(weight, edge_valid, tgt_view, tgt_seg, size):
+    flat_valid = edge_valid.reshape(-1)
+    idx = jnp.nonzero(flat_valid, size=size, fill_value=-1)[0]
+    ok = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    return (
+        idx,
+        ok,
+        weight.reshape(-1)[safe],
+        tgt_view.reshape(-1)[safe],
+        tgt_seg.reshape(-1)[safe],
+    )
+
+
+_compact_edges_jit = jax.jit(_compact_impl, static_argnames=("size",))
+
+
+def compact_edges(aff: "AffinityDense", size: int):
+    """Device-side compaction of the dense [V, S, M] edge tensors into flat
+    arrays of at most ``size`` edges — transfers O(E) instead of O(V*S*M)
+    host<->device traffic (the dense pull dominates the reconstruct phase on
+    slow interconnects otherwise).
+
+    Returns (flat_index, valid, weight, tgt_view, tgt_seg) host arrays.
+    """
+    return tuple(np.asarray(x) for x in _compact_edges_jit(
+        aff.weight, aff.edge_valid, aff.tgt_view, aff.tgt_seg, size))
 
 
 class AffinityDense(NamedTuple):

@@ -24,8 +24,21 @@ _LIB = None
 def _native_lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(os.path.dirname(__file__), "..", "native", "libl3dnative.so")
-        path = os.path.abspath(path)
+        native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+        path = os.path.abspath(os.path.join(native_dir, "libl3dnative.so"))
+        src = os.path.abspath(os.path.join(native_dir, "l3dnative.cc"))
+        if not os.path.exists(path) and os.path.exists(src):
+            # lazy one-shot build (plain g++, no deps); failures fall through
+            # to the python implementation
+            import subprocess
+
+            try:
+                subprocess.check_call(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                     "-o", path],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            except Exception:
+                pass
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
             lib.l3d_cluster.restype = ctypes.c_int
