@@ -101,12 +101,13 @@ def forward_step(
 
     # regroup (V*N, S, k) -> (V, S, M) with neighbor-grouped M axis
     def regroup(x):
-        x = x.reshape(V, N, S, k, *x.shape[3:])
-        return jnp.moveaxis(x, 1, 2).reshape(V, S, M, *x.shape[4:])
+        x = x.reshape(V, N, S, k)
+        return jnp.moveaxis(x, 1, 2).reshape(V, S, M)
 
     t_seg = regroup(pm.tgt_seg)
     t_valid = regroup(pm.valid)
-    t_depths = regroup(pm.depths)
+    d_p1 = regroup(pm.d_p1)
+    d_p2 = regroup(pm.d_p2)
 
     # ---- scoring ----
     r1, r2 = geo.segment_rays(RtKinv[:, None], segments)
@@ -115,7 +116,7 @@ def forward_step(
 
     scored = scoring_ops.score_matches(
         r1, r2, rmid, C, k_reg, neighbor_ids,
-        t_depths[..., 0], t_depths[..., 1], t_valid,
+        d_p1, d_p2, t_valid,
         knn=k, two_sig_a_sqr=two_sig_a_sqr,
         min_similarity=min_similarity,
         check_orientation=check_orientation,
@@ -124,7 +125,7 @@ def forward_step(
     # ---- filtering ----
     fm = affinity_ops.filter_matches(
         r1, r2, C, scored.score3d, scored.valid,
-        t_depths[..., 0], t_depths[..., 1],
+        d_p1, d_p2,
         min_best_score, min_best_score_perc,
     )
 

@@ -155,33 +155,37 @@ def affinity_dense(
     tview = jnp.repeat(neighbor_ids, k, axis=1)[:, None, :]     # (V, 1, M)
     tview = jnp.broadcast_to(tview, (V, S, M))
 
-    # gather the target segments' estimates
+    # gather the target segments' estimates.  All 3-vectors are handled as
+    # separate x/y/z (V, S, M) component arrays: a (V, S, M, 3) layout would
+    # be lane-padded 3 -> 128 on TPU and dominate HBM.
     g = lambda x: x[tview, tgt_seg]                             # adv. indexing
-    P1b, P2b = g(tgt_est.est_P1), g(tgt_est.est_P2)             # (V, S, M, 3)
+    P1b = [g(tgt_est.est_P1[..., i]) for i in range(3)]         # 3x (V, S, M)
+    P2b = [g(tgt_est.est_P2[..., i]) for i in range(3)]
     d1b, d2b = g(tgt_est.est_d1), g(tgt_est.est_d2)             # (V, S, M)
     validb = g(tgt_est.est_valid)
 
     # own estimates, broadcast over M
-    P1a, P2a = fm.est_P1[:, :, None, :], fm.est_P2[:, :, None, :]
+    P1a = [fm.est_P1[..., i, None] for i in range(3)]           # 3x (V, S, 1)
+    P2a = [fm.est_P2[..., i, None] for i in range(3)]
     d1a, d2a = fm.est_d1[..., None], fm.est_d2[..., None]
 
-    dira = P2a - P1a
-    lena = jnp.linalg.norm(dira, axis=-1, keepdims=True)
-    dira = dira / jnp.maximum(lena, EPS)
-    dirb = P2b - P1b
-    lenb = jnp.linalg.norm(dirb, axis=-1, keepdims=True)
-    dirb = dirb / jnp.maximum(lenb, EPS)
+    dva = [p2 - p1 for p1, p2 in zip(P1a, P2a)]
+    lena = jnp.sqrt(sum(c * c for c in dva))
+    dira = [c / jnp.maximum(lena, EPS) for c in dva]
+    dvb = [p2 - p1 for p1, p2 in zip(P1b, P2b)]
+    lenb = jnp.sqrt(sum(c * c for c in dvb))
+    dirb = [c / jnp.maximum(lenb, EPS) for c in dvb]
 
     ok = (
         fm.est_valid[..., None]
         & validb
         & fm.kept
-        & (lena[..., 0] > EPS)
-        & (lenb[..., 0] > EPS)
+        & (lena > EPS)
+        & (lenb > EPS)
     )
 
     # angular similarity (line3D.cc:1487-1489)
-    dot = jnp.clip(jnp.sum(dira * dirb, axis=-1), -1.0, 1.0)
+    dot = jnp.clip(sum(a * b for a, b in zip(dira, dirb)), -1.0, 1.0)
     ang = jnp.degrees(jnp.arccos(dot))
     ang = jnp.where(ang > 90.0, 180.0 - ang, ang)
     sim_a = jnp.exp(-ang * ang / two_sig_a_sqr)
@@ -201,10 +205,13 @@ def affinity_dense(
     sig21 = jnp.minimum(d1b, cut_b) * k_b
     sig22 = jnp.minimum(d2b, cut_b) * k_b
 
-    # mutual point-to-line distances (line3D.cc:1501-1505)
+    # mutual point-to-line distances (line3D.cc:1501-1505):
+    # d^2 = |w|^2 - (w . dir)^2 with w = P - L0, all component-wise
     def p2l(P, L0, Ld):
-        w = P - L0
-        return jnp.linalg.norm(w - jnp.sum(w * Ld, -1, keepdims=True) * Ld, axis=-1)
+        w = [p - l0 for p, l0 in zip(P, L0)]
+        w2 = sum(c * c for c in w)
+        proj = sum(c * d for c, d in zip(w, Ld))
+        return jnp.sqrt(jnp.maximum(w2 - proj * proj, 0.0))
 
     d11 = p2l(P1a, P1b, dirb)   # dist of own P1 to target line
     d12 = p2l(P2a, P1b, dirb)

@@ -49,11 +49,19 @@ EPS = 1e-12
 
 
 class PairMatches(NamedTuple):
-    """k best matches per (pair, src segment)."""
+    """k best matches per (pair, src segment).
+
+    Depths are four separate (P, S, k) arrays, NOT one (P, S, k, 4) tensor:
+    a trailing dim of 4 would be lane-padded to 128 on TPU (32x memory
+    expansion on the biggest intermediate of the whole pipeline).
+    """
 
     tgt_seg: jnp.ndarray    # (P, S, k) int32 target segment index
     overlap: jnp.ndarray    # (P, S, k) f32 epipolar overlap score
-    depths: jnp.ndarray     # (P, S, k, 4) f32 [d_p1, d_p2, d_q1, d_q2]
+    d_p1: jnp.ndarray       # (P, S, k) f32 src endpoint-1 depth
+    d_p2: jnp.ndarray       # (P, S, k) f32 src endpoint-2 depth
+    d_q1: jnp.ndarray       # (P, S, k) f32 tgt endpoint-1 depth
+    d_q2: jnp.ndarray       # (P, S, k) f32 tgt endpoint-2 depth
     valid: jnp.ndarray      # (P, S, k) bool
 
 
@@ -171,13 +179,11 @@ def match_pair(
     d_q1 = num_tgt[:, None] / _safe(jnp.einsum("sj,skj->sk", n_src, r_q1[top_idx], precision=HI))
     d_q2 = num_tgt[:, None] / _safe(jnp.einsum("sj,skj->sk", n_src, r_q2[top_idx], precision=HI))
 
-    depths = jnp.stack([d_p1, d_p2, d_q1, d_q2], axis=-1)
-    depths = jnp.where(top_valid[..., None], depths, 0.0)
-
+    z = jnp.where(top_valid, 1.0, 0.0)
     return PairMatches(
         tgt_seg=top_idx.astype(jnp.int32),
         overlap=jnp.where(top_valid, top_overlap, 0.0),
-        depths=depths,
+        d_p1=d_p1 * z, d_p2=d_p2 * z, d_q1=d_q1 * z, d_q2=d_q2 * z,
         valid=top_valid,
     )
 

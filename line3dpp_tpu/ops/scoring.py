@@ -48,40 +48,44 @@ def _score_chunk(
     *, knn: int, two_sig_a_sqr: float, min_similarity: float,
     check_orientation: bool,
 ):
+    """All 3-vectors are kept as separate x/y/z (B, M) component arrays —
+    a (B, M, 3) layout would be lane-padded 3 -> 128 on TPU (§OOM)."""
     B, M = d1.shape
     N = tC.shape[1]
     k = knn
 
     # hypothesis endpoints (view.cc:356-371): P = C + ray * depth
-    P1 = Cv[:, None, :] + r1[:, None, :] * d1[..., None]      # (B, M, 3)
-    P2 = Cv[:, None, :] + r2[:, None, :] * d2[..., None]
-    dvec = P2 - P1
-    length = jnp.linalg.norm(dvec, axis=-1)
-    dirs = dvec / jnp.maximum(length, EPS)[..., None]
+    P1c = [Cv[:, i:i + 1] + r1[:, i:i + 1] * d1 for i in range(3)]  # 3x (B, M)
+    P2c = [Cv[:, i:i + 1] + r2[:, i:i + 1] * d2 for i in range(3)]
+    dvc = [p2 - p1 for p1, p2 in zip(P1c, P2c)]
+    length = jnp.sqrt(sum(c * c for c in dvc))
+    inv_len = 1.0 / jnp.maximum(length, EPS)
+    dirc = [c * inv_len for c in dvc]
     ok = mvalid & (length > EPS)
 
     if check_orientation:
         # ray-vs-hypothesis angle must lie in (pi/32, 31pi/32)
         # (line3D.cc:811-858 via segmentQualityAngle, view.cc:466-484)
-        dot = jnp.clip(jnp.sum(rmid[:, None, :] * dirs, axis=-1), -1.0, 1.0)
+        dot = jnp.clip(sum(rmid[:, i:i + 1] * dirc[i] for i in range(3)),
+                       -1.0, 1.0)
         ang = jnp.arccos(dot)
         ok = ok & (ang > PI_1_32) & (ang < PI_31_32)
 
     # regularizers of the scored match (line3D.cc:1235-1248):
     # reg_i = 0.5*(2 (d_i k_src)^2 + 2 (|P_i - C_tgt| k_tgt)^2)
-    tCm = jnp.repeat(tC, k, axis=1)                            # (B, M, 3)
-    tkm = jnp.repeat(tk, k, axis=1)                            # (B, M)
+    tCc = [jnp.repeat(tC[:, :, i], k, axis=1) for i in range(3)]   # 3x (B, M)
+    tkm = jnp.repeat(tk, k, axis=1)                                # (B, M)
     sig1 = d1 * kv[:, None]
     sig2 = d2 * kv[:, None]
-    sig1t = jnp.linalg.norm(P1 - tCm, axis=-1) * tkm
-    sig2t = jnp.linalg.norm(P2 - tCm, axis=-1) * tkm
+    sig1t = jnp.sqrt(sum((p - c) ** 2 for p, c in zip(P1c, tCc))) * tkm
+    sig2t = jnp.sqrt(sum((p - c) ** 2 for p, c in zip(P2c, tCc))) * tkm
     reg1 = sig1 * sig1 + sig1t * sig1t                         # == 0.5*(2a+2b)
     reg2 = sig2 * sig2 + sig2t * sig2t
 
     # pairwise similarity of matches (m, m2) of one segment
     # (line3D.cc:1417-1446): regs come from m, depth diffs vs m2.
-    dot = jnp.clip(jnp.einsum("bmj,bnj->bmn", dirs, dirs,
-                              precision=jax.lax.Precision.HIGHEST), -1.0, 1.0)
+    dot = jnp.clip(
+        sum(c[:, :, None] * c[:, None, :] for c in dirc), -1.0, 1.0)
     ang_deg = jnp.degrees(jnp.arccos(dot))
     ang_deg = jnp.where(ang_deg > 90.0, 180.0 - ang_deg, ang_deg)
     sim_a = jnp.exp(-ang_deg * ang_deg / two_sig_a_sqr)

@@ -81,7 +81,8 @@ def _local_step(
 
     t_seg = regroup(pm.tgt_seg)
     t_valid = regroup(pm.valid)
-    t_depths = regroup(pm.depths)
+    d_p1 = regroup(pm.d_p1)
+    d_p2 = regroup(pm.d_p2)
 
     # --- local scoring (src-view local; targets resolved via global tables) ---
     RtKinv_local = jax.lax.dynamic_slice_in_dim(RtKinv, src_base[0], Vl, axis=0)
@@ -94,7 +95,7 @@ def _local_step(
 
     scored = scoring_ops.score_matches(
         r1, r2, rmid, C_local, k_local, nbr_local,
-        t_depths[..., 0], t_depths[..., 1], t_valid,
+        d_p1, d_p2, t_valid,
         knn=k, two_sig_a_sqr=two_sig_a_sqr, min_similarity=min_similarity,
         check_orientation=check_orientation,
         C_table=C, k_table=k_reg,
@@ -102,7 +103,7 @@ def _local_step(
 
     fm = affinity_ops.filter_matches(
         r1, r2, C_local, scored.score3d, scored.valid,
-        t_depths[..., 0], t_depths[..., 1],
+        d_p1, d_p2,
         min_best_score, min_best_score_perc,
     )
 

@@ -138,7 +138,8 @@ def test_matching_agrees_with_numpy_reference(rng):
     tgt = np.asarray(res.tgt_seg)
     ov = np.asarray(res.overlap)
     valid = np.asarray(res.valid)
-    depths = np.asarray(res.depths)
+    depths = np.stack([np.asarray(res.d_p1), np.asarray(res.d_p2),
+                       np.asarray(res.d_q1), np.asarray(res.d_q2)], axis=-1)
 
     for r in range(len(segs1)):
         got = {int(tgt[r, i]): (ov[r, i], depths[r, i])
@@ -169,7 +170,8 @@ def test_matching_true_depths_accurate(rng):
     res = run_jax_match(cam1, cam2, segs1, segs2, S=32)
     tgt = np.asarray(res.tgt_seg)
     valid = np.asarray(res.valid)
-    depths = np.asarray(res.depths)
+    depths = np.stack([np.asarray(res.d_p1), np.asarray(res.d_p2),
+                       np.asarray(res.d_q1), np.asarray(res.d_q2)], axis=-1)
     for r in range(20):
         for i in range(tgt.shape[1]):
             if valid[r, i] and tgt[r, i] == r:
