@@ -294,6 +294,81 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int):
     return segs, ok, diag
 
 
+def merge_collinear(segs: np.ndarray, angle_tol_deg: float = 2.0,
+                    rho_tol: float = 2.5, gap_tol: float = 8.0) -> np.ndarray:
+    """Merge collinear, nearly-touching fragments into single segments.
+
+    The multi-round extraction fragments some long edges into pieces; left
+    unmerged they rank low in the top-K-by-length selection
+    (line3D.cc:320-360) and crowd out true structure.  Segments are hashed by
+    quantized line parameters (θ mod π, signed offset ρ) on two offset grids
+    each (to dodge quantization boundaries), then chains within a bucket are
+    joined greedily along the line when the projection gap is < ``gap_tol``.
+    """
+    if len(segs) == 0:
+        return segs
+    segs = np.asarray(segs, np.float64)
+    d = segs[:, 2:4] - segs[:, 0:2]
+    L = np.maximum(np.hypot(d[:, 0], d[:, 1]), 1e-12)
+    theta = np.arctan2(d[:, 1], d[:, 0]) % np.pi          # direction mod pi
+    nx, ny = -np.sin(theta), np.cos(theta)
+    rho = segs[:, 0] * nx + segs[:, 1] * ny               # line offset
+
+    parent = np.arange(len(segs))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ang_q = angle_tol_deg * np.pi / 180.0
+    for a_off in (0.0, 0.5):
+        for r_off in (0.0, 0.5):
+            tq = np.floor(theta / ang_q + a_off).astype(np.int64)
+            # wrap: theta near pi and near 0 are the same line direction
+            tq_mod = tq % max(int(np.pi / ang_q), 1)
+            rq = np.floor(rho / rho_tol + r_off).astype(np.int64)
+            buckets: dict = {}
+            for i, key in enumerate(zip(tq_mod.tolist(), rq.tolist())):
+                buckets.setdefault(key, []).append(i)
+            for members in buckets.values():
+                if len(members) < 2:
+                    continue
+                m = np.array(members)
+                # project onto the mean direction of the bucket
+                th = theta[m[0]]
+                ux, uy = np.cos(th), np.sin(th)
+                p1 = segs[m, 0] * ux + segs[m, 1] * uy
+                p2 = segs[m, 2] * ux + segs[m, 3] * uy
+                lo = np.minimum(p1, p2)
+                hi = np.maximum(p1, p2)
+                order = np.argsort(lo)
+                for a, b in zip(order[:-1], order[1:]):
+                    if lo[b] - hi[a] <= gap_tol:
+                        ra, rb = find(m[a]), find(m[b])
+                        if ra != rb:
+                            parent[rb] = ra
+
+    roots = np.array([find(i) for i in range(len(segs))])
+    out = []
+    for r in np.unique(roots):
+        member = np.nonzero(roots == r)[0]
+        if len(member) == 1:
+            out.append(segs[member[0]])
+            continue
+        # refit: extreme endpoints along the length-weighted mean direction
+        th = np.arctan2(
+            np.sum(np.sin(2 * theta[member]) * L[member]),
+            np.sum(np.cos(2 * theta[member]) * L[member])) / 2.0
+        ux, uy = np.cos(th), np.sin(th)
+        pts = np.concatenate([segs[member, 0:2], segs[member, 2:4]], axis=0)
+        t = pts[:, 0] * ux + pts[:, 1] * uy
+        i_min, i_max = np.argmin(t), np.argmax(t)
+        out.append(np.concatenate([pts[i_min], pts[i_max]]))
+    return np.stack(out)
+
+
 def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
     """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
     original image coordinates.
@@ -316,5 +391,6 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
 
     H, W = img.shape
     segs, ok, _ = _lsd_core(jnp.asarray(img), H, W)
-    segs = np.asarray(segs)[np.asarray(ok)]
-    return segs.astype(np.float64) * ds
+    segs = np.asarray(segs)[np.asarray(ok)].astype(np.float64)
+    segs = merge_collinear(segs)
+    return segs * ds

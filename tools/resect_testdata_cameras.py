@@ -13,6 +13,13 @@ correspondences recovers M per camera; RQ decomposition splits K, R, t.
 
 Output: testdata/cameras_testdata.json (committed), used by the e2e golden
 tests.  Usage:  python tools/resect_testdata_cameras.py
+
+NOTE on camID -> image mapping: the golden file's camera ids follow the NVM
+registration order, NOT filename order — golden cams 0-4 are images
+img000057/59/58/56/55 respectively (established by matching each camera's
+residual 2D segments against per-image line detections; identity for 5-25).
+The committed JSON carries the corrected mapping.  Resection itself is
+unaffected (it never reads pixels; sizes are identical across images).
 """
 
 from __future__ import annotations

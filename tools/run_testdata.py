@@ -20,10 +20,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if "--cpu" in sys.argv:
-    import jax
+import jax
 
+if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the axon remote compile takes minutes for the
+# big fused step; cache executables across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_l3d")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import line3dpp_tpu as l3d
 from line3dpp_tpu.utils.golden import (
