@@ -315,7 +315,7 @@ class Line3D:
         estP2 = np.asarray(fm.est_P2)
         pts = np.concatenate([estP1[mv, ms], estP2[mv, ms]], axis=0)
         pt_cluster = np.concatenate([mc, mc])
-        lines = fitting_ops.fit_lines(jnp.asarray(pts), jnp.asarray(pt_cluster), C)
+        lines = fitting_ops.fit_lines_np(pts, pt_cluster, C)
         lineP1 = np.asarray(lines.P1)
         lineP2 = np.asarray(lines.P2)
         line_dir = lineP2 - lineP1
@@ -329,11 +329,9 @@ class Line3D:
         # --- device: project member segments onto their cluster lines ---
         r1 = np.asarray(st["r1"])
         r2 = np.asarray(st["r2"])
-        s1, s2, ok = fitting_ops.project_members_onto_lines(
-            jnp.asarray(lineP1[mc]), jnp.asarray(line_dir[mc]),
-            jnp.asarray(cb.C[mv]), jnp.asarray(r1[mv, ms]), jnp.asarray(r2[mv, ms]),
+        s1, s2, ok = fitting_ops.project_members_onto_lines_np(
+            lineP1[mc], line_dir[mc], cb.C[mv], r1[mv, ms], r2[mv, ms],
         )
-        s1 = np.asarray(s1); s2 = np.asarray(s2); ok = np.asarray(ok)
 
         # --- host: interval sweep (line3D.cc:2342-2452) ---
         intervals = sweep_ops.sweep_all(mc, s1, s2, ok, mv, C, visibility)

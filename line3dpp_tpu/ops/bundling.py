@@ -238,13 +238,35 @@ def optimize_cluster_lines(lineP1, lineP2, mc, mv, ms, C, st, config):
     s0, w0 = params_from_plucker(m0, v0)
     params0 = jnp.concatenate([s0, w0[:, None]], axis=1)
 
+    # pad cluster/observation counts to power-of-two buckets: they change
+    # every run, and on remote-compile backends a fresh jit per shape costs
+    # far more than the padded compute.  Padded observations point at a
+    # dummy cluster; padded clusters never read back.
+    O = len(p)
+    Cpad = max(1 << (C).bit_length(), 64)
+    Opad = max(1 << (O - 1).bit_length(), 256) if O else 256
+    padO = Opad - O
+    obs_cluster = jnp.concatenate(
+        [obs_cluster, jnp.full((padO,), C, jnp.int32)])
+    padA = lambda x: np.concatenate(
+        [x, np.zeros((padO,) + x.shape[1:], x.dtype)]) if padO else x
+    eyeK = np.zeros((padO, 3, 3), np.float32)
+    eyeK[:, 0, 0] = eyeK[:, 1, 1] = eyeK[:, 2, 2] = 1.0
+    Ko = np.concatenate([Ko, eyeK]) if padO else Ko
+    Ro = np.concatenate([Ro, eyeK]) if padO else Ro
+    to, p1h, p2h = padA(to), padA(p1h), padA(p2h)
+    d2 = padA(d2.astype(np.float32))
+    params0 = jnp.concatenate(
+        [params0, jnp.zeros((Cpad - C, 4), params0.dtype)])
+
     params = lm_optimize(
         params0, obs_cluster,
         jnp.asarray(Ko), jnp.asarray(Ro), jnp.asarray(to),
-        jnp.asarray(p1h), jnp.asarray(p2h), jnp.asarray(d2.astype(np.float32)),
-        num_clusters=C,
+        jnp.asarray(p1h), jnp.asarray(p2h), jnp.asarray(d2),
+        num_clusters=Cpad,
         iterations=min(int(config.max_iter_optim), 50),
     )
+    params = params[:C]
 
     m, v = plucker_from_params(params[:, :3], params[:, 3])
     m = np.asarray(m, np.float64)

@@ -25,6 +25,61 @@ class ClusterLines(NamedTuple):
     valid: jnp.ndarray   # (C,)
 
 
+def fit_lines_np(points, cluster_id, num_clusters: int) -> ClusterLines:
+    """Host (numpy) variant of :func:`fit_lines` for small member sets.
+
+    The cluster count changes every run; on remote-compile TPU backends a
+    fresh jit per shape costs far more than the O(members) host compute, so
+    the pipeline uses this path (the jax variant serves sharded callers)."""
+    import numpy as np
+
+    pts = np.asarray(points, np.float64)
+    cid = np.asarray(cluster_id, np.int64)
+    counts = np.bincount(cid, minlength=num_clusters).astype(np.float64)
+    sums = np.zeros((num_clusters, 3))
+    np.add.at(sums, cid, pts)
+    cog = sums / np.maximum(counts, 1.0)[:, None]
+
+    outer = pts[:, :, None] * pts[:, None, :]
+    sum_outer = np.zeros((num_clusters, 9))
+    np.add.at(sum_outer, cid, outer.reshape(-1, 9))
+    scat = sum_outer.reshape(-1, 3, 3) - counts[:, None, None] * (
+        cog[:, :, None] * cog[:, None, :])
+
+    _, vecs = np.linalg.eigh(scat)
+    direction = vecs[:, :, 2]
+    nrm = np.linalg.norm(direction, axis=-1, keepdims=True)
+    direction = direction / np.maximum(nrm, 1e-12)
+    return ClusterLines(P1=cog - direction, P2=cog + direction,
+                        valid=counts >= 2.0)
+
+
+def project_members_onto_lines_np(line_P1, line_dir, cam_C, ray1, ray2):
+    """Host (numpy) variant of :func:`project_members_onto_lines`."""
+    import numpy as np
+
+    line_P1 = np.asarray(line_P1, np.float64)
+    line_dir = np.asarray(line_dir, np.float64)
+    cam_C = np.asarray(cam_C, np.float64)
+
+    def params(v):
+        v = np.asarray(v, np.float64)
+        w = line_P1 - cam_C
+        a = np.sum(line_dir * line_dir, -1)
+        b = np.sum(line_dir * v, -1)
+        c = np.sum(v * v, -1)
+        d = np.sum(line_dir * w, -1)
+        e = np.sum(v * w, -1)
+        denom = a * c - b * b
+        ok = np.abs(denom) > 1e-12
+        s = (b * e - c * d) / np.where(ok, denom, 1.0)
+        return s, ok
+
+    s1, ok1 = params(ray1)
+    s2, ok2 = params(ray2)
+    return s1, s2, ok1 & ok2
+
+
 def fit_lines(
     points: jnp.ndarray,       # (N, 3) hypothesis endpoints (2 per member)
     cluster_id: jnp.ndarray,   # (N,) int32 cluster index per point

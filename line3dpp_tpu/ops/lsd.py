@@ -390,7 +390,21 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
         img = np.asarray(_bilinear_resize(jnp.asarray(img), nh, nw))
 
     H, W = img.shape
-    segs, ok, _ = _lsd_core(jnp.asarray(img), H, W)
+    segs, ok = _detect_compact(jnp.asarray(img), H, W)
     segs = np.asarray(segs)[np.asarray(ok)].astype(np.float64)
     segs = merge_collinear(segs)
     return segs * ds
+
+
+_MAX_RAW_SEGMENTS = 32768
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _detect_compact(img: jnp.ndarray, H: int, W: int):
+    """Run the core and compact accepted segments ON DEVICE — the raw
+    per-pixel-slot outputs are ~300 MB per image and must never cross the
+    host interconnect."""
+    segs, ok, _ = _lsd_core(img, H, W)
+    idx = jnp.nonzero(ok, size=_MAX_RAW_SEGMENTS, fill_value=-1)[0]
+    valid = idx >= 0
+    return segs[jnp.maximum(idx, 0)], valid
