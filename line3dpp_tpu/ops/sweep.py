@@ -80,15 +80,100 @@ def sweep_all(
     num_clusters: int,
     visibility: int = 3,
 ) -> list[list[tuple[float, float]]]:
-    """Sweep every cluster; returns per-cluster interval lists."""
+    """Sweep every cluster at once, fully vectorized.
+
+    Event semantics match :func:`sweep_cluster`: per cluster, interval
+    endpoints ordered by distance to the border point; the distinct-open-
+    camera count rises by one when a camera's open-interval count goes
+    0 -> 1 and falls on 1 -> 0; sub-segments are emitted while the count is
+    >= ``visibility``.
+    """
     out: list[list[tuple[float, float]]] = [[] for _ in range(num_clusters)]
-    order = np.argsort(member_cluster, kind="stable")
-    mc = member_cluster[order]
-    boundaries = np.searchsorted(mc, np.arange(num_clusters + 1))
-    for c in range(num_clusters):
-        sel = order[boundaries[c] : boundaries[c + 1]]
-        sel = sel[member_ok[sel]]
-        if len(sel) == 0:
-            continue
-        out[c] = sweep_cluster(s1[sel], s2[sel], cams[sel], visibility)
+    keep = np.asarray(member_ok, bool)
+    if not keep.any():
+        return out
+    mc = np.asarray(member_cluster)[keep]
+    a = np.asarray(s1, np.float64)[keep]
+    b = np.asarray(s2, np.float64)[keep]
+    cam = np.asarray(cams)[keep]
+
+    # clusters need >= 3 members (6 endpoints, line3D.cc:2396)
+    counts = np.bincount(mc, minlength=num_clusters)
+    ok_cluster = counts >= 3
+    sel = ok_cluster[mc]
+    if not sel.any():
+        return out
+    mc, a, b, cam = mc[sel], a[sel], b[sel], cam[sel]
+    m = len(mc)
+
+    # border per cluster: projected endpoint farthest from the COG param
+    # (s_cog = 1.0 by construction, line3D.cc:2373-2391)
+    params = np.concatenate([a, b])                       # (2m,)
+    ev_cluster = np.concatenate([mc, mc])
+    ev_line = np.tile(np.arange(m), 2)
+    ev_cam = np.concatenate([cam, cam])
+
+    absdev = np.abs(params - 1.0)
+    border = np.full(num_clusters, 0.0)
+    # argmax |param-1| per cluster
+    order0 = np.lexsort((absdev, ev_cluster))
+    last_of = np.searchsorted(ev_cluster[order0],
+                              np.arange(num_clusters + 1))[1:] - 1
+    has = counts >= 3
+    border[has] = params[order0[last_of[has]]]
+
+    dist = np.abs(params - border[ev_cluster])
+
+    # event order: by cluster, then distance-to-border (stable)
+    order = np.lexsort((np.arange(2 * m), dist, ev_cluster))
+    ec = ev_cluster[order]
+    el = ev_line[order]
+    ecam = ev_cam[order]
+    epos = params[order]
+
+    # open/close: the first event of each (cluster, line) pair IN SWEEP
+    # ORDER opens (el/ec are already sweep-ordered, so the position key is
+    # just arange)
+    o2 = np.lexsort((np.arange(2 * m), el, ec))
+    sign_sorted = np.empty(2 * m, np.int64)
+    sign_sorted[0::2] = 1          # groups of exactly 2 events per line
+    sign_sorted[1::2] = -1
+    sign = np.empty(2 * m, np.int64)
+    sign[o2] = sign_sorted
+
+    # per (cluster, cam) running count -> distinct-camera deltas
+    o3 = np.lexsort((np.arange(2 * m), ecam, ec))
+    s3 = sign[o3]
+    grp = np.flatnonzero(np.diff(ecam[o3], prepend=-9) |
+                         np.diff(ec[o3], prepend=-9))
+    run = np.cumsum(s3)
+    base = np.zeros(2 * m, np.int64)
+    base[grp] = np.concatenate([[0], run[grp[1:] - 1]])
+    base = np.maximum.accumulate(base)
+    cnt = run - base                                     # count after event
+    delta3 = np.where((s3 > 0) & (cnt == 1), 1,
+                      np.where((s3 < 0) & (cnt == 0), -1, 0))
+    delta = np.empty(2 * m, np.int64)
+    delta[o3] = delta3
+
+    # distinct-open-cameras after each event, per cluster: global cumsum
+    # minus the cumulative value just before the cluster's first event
+    runall = np.cumsum(delta)
+    cgrp = np.flatnonzero(np.diff(ec, prepend=-9))
+    start_cum = np.concatenate([[0], runall])[cgrp]
+    opencnt = runall - np.repeat(start_cum,
+                                 np.diff(np.append(cgrp, 2 * m)))
+
+    above = opencnt >= visibility
+    prev = np.concatenate([[False], above[:-1]])
+    prev[cgrp] = False
+    starts = np.flatnonzero(above & ~prev)
+    # an interval closes at the first event where `above` drops
+    ends_mask = ~above & prev
+    ends = np.flatnonzero(ends_mask)
+
+    # match starts/ends in order (they alternate within each cluster)
+    for s_idx, e_idx in zip(starts, ends):
+        c = int(ec[s_idx])
+        out[c].append((float(epos[s_idx]), float(epos[e_idx])))
     return out

@@ -45,8 +45,9 @@ CACHE = os.path.join(REPO, "testdata", "L3D_cache")
 def main():
     from PIL import Image
 
+    optimize = "--optimize" in sys.argv
     cams = json.load(open(CAMS))
-    cfg = l3d.Config(optimize=False)
+    cfg = l3d.Config(optimize=optimize)
     pipe = l3d.Line3D(cfg)
 
     t0 = time.time()
@@ -80,7 +81,8 @@ def main():
     golden_txt = os.path.join(
         GOLDEN_DIR,
         "Line3D++__W_FULL__N_10__sigmaP_2.5__sigmaA_10__epiOverlap_0.25"
-        "__kNN_10__vis_3.txt",
+        + ("__kNN_10__OPTIMIZED__vis_3.txt" if optimize
+           else "__kNN_10__vis_3.txt"),
     )
     gold = stack_golden_segments(parse_lines3d_txt(golden_txt))
     pred = (np.concatenate([l.segments3d for l in lines])
