@@ -54,6 +54,7 @@ class Config:
     # --- numerics / TPU execution ---
     const_regularization_depth: float = -1.0   # used when sigma_p < 0
     pair_chunk: int = 8                # view pairs processed per device step
+    use_pallas_matching: bool = True   # fused Pallas match kernel on TPU
     seg_pad: int = -1                  # pad segments per view; -1 -> max_line_segments
     match_slots: int = -1              # match slots per segment; -1 -> derived
     dtype: str = "float32"

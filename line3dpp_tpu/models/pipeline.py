@@ -177,6 +177,10 @@ class Line3D:
         d_C = jnp.asarray(cb.C)
         d_nbr = jnp.asarray(neighbor_ids)
 
+        # the fused Pallas matching kernel needs a real TPU backend; the XLA
+        # path serves CPU tests and any other platform
+        use_pallas = (cfg.use_pallas_matching
+                      and jax.default_backend() == "tpu")
         out = forward_step(
             d_segs, d_mask, d_RtKinv, d_C, jnp.asarray(cb.k_reg),
             d_nbr, jnp.asarray(F), jnp.asarray(pair_valid),
@@ -188,6 +192,7 @@ class Line3D:
             min_best_score_perc=cfg.min_best_score_perc,
             min_affinity=cfg.min_affinity,
             pair_chunk=max(cfg.pair_chunk, 1),
+            use_pallas_matching=use_pallas,
         )
 
         fm = affinity_ops.FilteredMatches(

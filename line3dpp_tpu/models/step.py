@@ -62,6 +62,7 @@ def _median_positive(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         "epipolar_overlap", "knn", "two_sig_a_sqr", "min_similarity",
         "check_orientation", "min_best_score", "min_best_score_perc",
         "min_affinity", "med_scene_depth_static", "pair_chunk",
+        "use_pallas_matching",
     ),
 )
 def forward_step(
@@ -84,6 +85,7 @@ def forward_step(
     min_affinity: float = 0.5,
     med_scene_depth_static: float = -1.0,
     pair_chunk: int = 8,
+    use_pallas_matching: bool = False,
 ) -> StepOutputs:
     V, S = seg_mask.shape
     N = neighbor_ids.shape[1]
@@ -93,16 +95,30 @@ def forward_step(
     # ---- matching over all (view, neighbor-slot) pairs ----
     src_idx = jnp.repeat(jnp.arange(V, dtype=jnp.int32), N)
     tgt_idx = neighbor_ids.reshape(-1)
-    pm = matching_ops.match_pairs_chunked(
-        segments, seg_mask, RtKinv, C,
-        src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
-        epipolar_overlap, k, chunk=pair_chunk,
-    )
+    if use_pallas_matching:
+        from ..ops import matching_pallas
 
-    # regroup (V*N, S, k) -> (V, S, M) with neighbor-grouped M axis
-    def regroup(x):
-        x = x.reshape(V, N, S, k)
-        return jnp.moveaxis(x, 1, 2).reshape(V, S, M)
+        pm = matching_pallas.match_pairs_pallas(
+            segments, seg_mask, RtKinv, C,
+            src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
+            epipolar_overlap=epipolar_overlap, knn=k,
+        )
+
+        # (P, k, S) -> (V, S, M): keep the big segment axis on lanes until
+        # the final transpose (lane dims S and M are both large)
+        def regroup(x):
+            return x.reshape(V, N * k, S).swapaxes(1, 2)
+    else:
+        pm = matching_ops.match_pairs_chunked(
+            segments, seg_mask, RtKinv, C,
+            src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
+            epipolar_overlap, k, chunk=pair_chunk,
+        )
+
+        # regroup (V*N, S, k) -> (V, S, M) with neighbor-grouped M axis
+        def regroup(x):
+            x = x.reshape(V, N, S, k)
+            return jnp.moveaxis(x, 1, 2).reshape(V, S, M)
 
     t_seg = regroup(pm.tgt_seg)
     t_valid = regroup(pm.valid)
