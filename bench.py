@@ -95,6 +95,7 @@ def main():
         min_similarity=0.5, check_orientation=True, min_best_score=0.75,
         min_best_score_perc=0.10, min_affinity=0.5, pair_chunk=8,
         use_pallas_matching=jax.default_backend() == "tpu",
+        use_pallas_scoring=jax.default_backend() == "tpu",
     )
 
     # NOTE: on the axon TPU relay, jax.block_until_ready does NOT wait for

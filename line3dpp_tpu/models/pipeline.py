@@ -193,6 +193,7 @@ class Line3D:
             min_affinity=cfg.min_affinity,
             pair_chunk=max(cfg.pair_chunk, 1),
             use_pallas_matching=use_pallas,
+            use_pallas_scoring=use_pallas,
         )
 
         fm = affinity_ops.FilteredMatches(

@@ -62,7 +62,7 @@ def _median_positive(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         "epipolar_overlap", "knn", "two_sig_a_sqr", "min_similarity",
         "check_orientation", "min_best_score", "min_best_score_perc",
         "min_affinity", "med_scene_depth_static", "pair_chunk",
-        "use_pallas_matching",
+        "use_pallas_matching", "use_pallas_scoring",
     ),
 )
 def forward_step(
@@ -86,6 +86,7 @@ def forward_step(
     med_scene_depth_static: float = -1.0,
     pair_chunk: int = 8,
     use_pallas_matching: bool = False,
+    use_pallas_scoring: bool = False,
 ) -> StepOutputs:
     V, S = seg_mask.shape
     N = neighbor_ids.shape[1]
@@ -130,13 +131,24 @@ def forward_step(
     mid = 0.5 * (segments[..., 0:2] + segments[..., 2:4])
     rmid = geo.rays_from_pixels(RtKinv[:, None], mid)
 
-    scored = scoring_ops.score_matches(
-        r1, r2, rmid, C, k_reg, neighbor_ids,
-        d_p1, d_p2, t_valid,
-        knn=k, two_sig_a_sqr=two_sig_a_sqr,
-        min_similarity=min_similarity,
-        check_orientation=check_orientation,
-    )
+    if use_pallas_scoring:
+        from ..ops import scoring_pallas
+
+        scored = scoring_pallas.score_matches_pallas(
+            r1, r2, rmid, C, k_reg, neighbor_ids,
+            d_p1, d_p2, t_valid,
+            knn=k, two_sig_a_sqr=two_sig_a_sqr,
+            min_similarity=min_similarity,
+            check_orientation=check_orientation,
+        )
+    else:
+        scored = scoring_ops.score_matches(
+            r1, r2, rmid, C, k_reg, neighbor_ids,
+            d_p1, d_p2, t_valid,
+            knn=k, two_sig_a_sqr=two_sig_a_sqr,
+            min_similarity=min_similarity,
+            check_orientation=check_orientation,
+        )
 
     # ---- filtering ----
     fm = affinity_ops.filter_matches(
