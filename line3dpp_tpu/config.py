@@ -55,6 +55,8 @@ class Config:
     const_regularization_depth: float = -1.0   # used when sigma_p < 0
     pair_chunk: int = 8                # view pairs processed per device step
     use_pallas_matching: bool = True   # fused Pallas match kernel on TPU
+    view_block: int = -1               # >0: blocked large-scene matching;
+                                       # bounds device memory at O(block*S*M)
     seg_pad: int = -1                  # pad segments per view; -1 -> max_line_segments
     match_slots: int = -1              # match slots per segment; -1 -> derived
     dtype: str = "float32"

@@ -181,6 +181,16 @@ class Line3D:
         # path serves CPU tests and any other platform
         use_pallas = (cfg.use_pallas_matching
                       and jax.default_backend() == "tpu")
+
+        if cfg.view_block > 0 and V > cfg.view_block:
+            # large-scene path: process source views in blocks so device
+            # memory stays O(block * S * M) regardless of V
+            self._match_images_blocked(
+                cam_ids, cams, translation, cb, segs, mask,
+                neighbor_ids, pair_valid, F, k, use_pallas,
+                med_scene_depth, fixed_reg)
+            return
+
         out = forward_step(
             d_segs, d_mask, d_RtKinv, d_C, jnp.asarray(cb.k_reg),
             d_nbr, jnp.asarray(F), jnp.asarray(pair_valid),
@@ -219,6 +229,142 @@ class Line3D:
             med_scene_depth=med_scene_depth, fixed_reg=fixed_reg,
         )
 
+    def _match_images_blocked(self, cam_ids, cams, translation, cb, segs,
+                              mask, neighbor_ids, pair_valid, F, k,
+                              use_pallas, med_scene_depth, fixed_reg):
+        """Blocked matching for scenes too large for the fused step: source
+        views run through ``_match_score_filter`` in fixed-size blocks
+        (device memory O(block*S*M)), kept matches are compacted to a flat
+        host edge list, and affinity evaluates edge-wise over the global
+        estimate tables (SURVEY.md §7.2's single-host scaling analog of the
+        reference's 3072-row GPU buffer loop)."""
+        import functools
+
+        from ..ops import geometry as geo_ops
+        from .step import _match_score_filter
+
+        cfg = self.config
+        V, S = mask.shape
+        N = neighbor_ids.shape[1]
+        M = N * k
+        Vb = cfg.view_block
+
+        d_segs = jnp.asarray(segs)
+        d_mask = jnp.asarray(mask)
+        d_RtKinv = jnp.asarray(cb.RtKinv)
+        d_C = jnp.asarray(cb.C)
+        d_kreg = jnp.asarray(cb.k_reg)
+
+        msf = jax.jit(functools.partial(
+            _match_score_filter,
+            epipolar_overlap=cfg.epipolar_overlap, knn=k,
+            two_sig_a_sqr=cfg.two_sig_a_sqr,
+            min_similarity=cfg.min_similarity_3d,
+            check_orientation=cfg.check_match_orientation,
+            min_best_score=cfg.min_best_score_3d,
+            min_best_score_perc=cfg.min_best_score_perc,
+            pair_chunk=max(cfg.pair_chunk, 1),
+            use_pallas_matching=use_pallas,
+            use_pallas_scoring=use_pallas,
+        ))
+
+        est_P1 = np.zeros((V, S, 3), np.float32)
+        est_P2 = np.zeros((V, S, 3), np.float32)
+        est_d1 = np.zeros((V, S), np.float32)
+        est_d2 = np.zeros((V, S), np.float32)
+        est_valid = np.zeros((V, S), bool)
+        median_depth = np.full(V, EPS, np.float32)
+        edge_sv, edge_ss, edge_tv, edge_ts = [], [], [], []
+
+        n_blocks = -(-V // Vb)
+        for b in range(n_blocks):
+            lo = b * Vb
+            rows = np.arange(lo, min(lo + Vb, V), dtype=np.int32)
+            # pad the last block by repeating the first row with pairs off
+            padn = Vb - len(rows)
+            rows_p = np.concatenate([rows, np.zeros(padn, np.int32)])
+            nbr_b = neighbor_ids[rows_p]
+            pv_b = pair_valid[rows_p].copy()
+            if padn:
+                pv_b[len(rows):] = False
+            out = msf(
+                d_segs, d_mask, d_RtKinv, d_C, d_kreg,
+                jnp.asarray(nbr_b), jnp.asarray(F[rows_p]),
+                jnp.asarray(pv_b), src_rows=jnp.asarray(rows_p))
+
+            nreal = len(rows)
+            est_P1[rows] = np.asarray(out["fm"].est_P1)[:nreal]
+            est_P2[rows] = np.asarray(out["fm"].est_P2)[:nreal]
+            est_d1[rows] = np.asarray(out["fm"].est_d1)[:nreal]
+            est_d2[rows] = np.asarray(out["fm"].est_d2)[:nreal]
+            est_valid[rows] = np.asarray(out["fm"].est_valid)[:nreal]
+            median_depth[rows] = np.asarray(out["median_depth"])[:nreal]
+
+            n_kept = int(jnp.sum(out["fm"].kept))
+            if n_kept == 0:
+                continue
+            cap = max(1 << (n_kept - 1).bit_length(), 1024)
+            idx, okm, ts = affinity_ops.compact_kept(
+                out["fm"].kept, out["t_seg"], cap)
+            idx, ts = idx[okm], ts[okm]
+            lv = idx // (S * M)
+            ss = (idx // M) % S
+            slot = idx % M
+            keep = lv < nreal
+            lv, ss, slot, ts = lv[keep], ss[keep], slot[keep], ts[keep]
+            edge_sv.append(rows_p[lv])
+            edge_ss.append(ss.astype(np.int64))
+            edge_tv.append(nbr_b[lv, slot // k].astype(np.int64))
+            edge_ts.append(ts.astype(np.int64))
+
+        meds = np.sort(median_depth[median_depth > EPS])
+        med_scene = float(meds[len(meds) // 2]) if len(meds) else 0.0
+
+        if edge_sv:
+            sv = np.concatenate(edge_sv).astype(np.int32)
+            ss = np.concatenate(edge_ss).astype(np.int32)
+            tv = np.concatenate(edge_tv).astype(np.int32)
+            ts = np.concatenate(edge_ts).astype(np.int32)
+            E = len(sv)
+            cap = max(1 << (E - 1).bit_length(), 1024)
+            padE = cap - E
+            padz = lambda x: np.concatenate([x, np.zeros(padE, x.dtype)])
+            w, valid = affinity_ops.affinity_edges_flat(
+                jnp.asarray(est_P1), jnp.asarray(est_P2),
+                jnp.asarray(est_d1), jnp.asarray(est_d2),
+                jnp.asarray(est_valid),
+                jnp.asarray(padz(sv)), jnp.asarray(padz(ss)),
+                jnp.asarray(padz(tv)), jnp.asarray(padz(ts)),
+                jnp.asarray(np.concatenate(
+                    [np.ones(E, bool), np.zeros(padE, bool)])),
+                d_kreg, jnp.asarray(median_depth),
+                med_scene, cfg.two_sig_a_sqr, cfg.min_affinity,
+            )
+            w = np.asarray(w)[:E]
+            valid = np.asarray(valid)[:E]
+            gid_a = sv[valid].astype(np.int64) * S + ss[valid]
+            gid_b = tv[valid].astype(np.int64) * S + ts[valid]
+            ww = w[valid]
+        else:
+            gid_a = np.zeros(0, np.int64)
+            gid_b = np.zeros(0, np.int64)
+            ww = np.zeros(0, np.float32)
+
+        fm = affinity_ops.FilteredMatches(
+            kept=None, best_slot=None,
+            est_valid=est_valid, est_P1=est_P1, est_P2=est_P2,
+            est_d1=est_d1, est_d2=est_d2, max_score=None,
+        )
+        r1, r2 = geo_ops.segment_rays(d_RtKinv[:, None], d_segs)
+
+        self._last_state = dict(
+            cam_ids=cam_ids, cams=cams, translation=translation,
+            cb=cb, segs=segs, mask=mask, neighbor_ids=neighbor_ids,
+            r1=r1, r2=r2, fm=fm, median_depth=median_depth,
+            med_scene_depth=med_scene_depth, fixed_reg=fixed_reg,
+            edges_flat=(gid_a, gid_b, ww),
+        )
+
     def reconstruct_3d_lines(self) -> list[FinalLine3D]:
         cfg = self.config
         st = self._last_state
@@ -232,20 +378,24 @@ class Line3D:
         meds = np.sort(st["median_depth"][st["median_depth"] > EPS])
         med_scene_depth_lines = float(meds[len(meds) // 2]) if len(meds) else 0.0
 
-        # affinity weights were produced by the fused device step
-        aff = st["aff"]
+        if "edges_flat" in st:
+            # blocked large-scene path delivered edges directly
+            gid_a, gid_b, ww = st["edges_flat"]
+        else:
+            # affinity weights were produced by the fused device step
+            aff = st["aff"]
 
-        # --- edge extraction: device-side compaction, then host dedup
-        # (line3D.cc:1881-1899).  Only O(E) bytes cross to the host.
-        M = aff.weight.shape[2]
-        n_edges = affinity_ops.count_edges(aff.edge_valid)
-        cap = max(1 << (n_edges - 1).bit_length() if n_edges else 1, 1024)
-        idx, okm, ww, tv_e, ts_e = affinity_ops.compact_edges(aff, cap)
-        idx, ww, tv_e, ts_e = idx[okm], ww[okm], tv_e[okm], ts_e[okm]
-        src_v = (idx // (S * M)).astype(np.int64)
-        src_s = (idx // M) % S
-        gid_a = src_v * S + src_s
-        gid_b = tv_e.astype(np.int64) * S + ts_e
+            # --- edge extraction: device-side compaction, then host dedup
+            # (line3D.cc:1881-1899).  Only O(E) bytes cross to the host.
+            M = aff.weight.shape[2]
+            n_edges = affinity_ops.count_edges(aff.edge_valid)
+            cap = max(1 << (n_edges - 1).bit_length() if n_edges else 1, 1024)
+            idx, okm, ww, tv_e, ts_e = affinity_ops.compact_edges(aff, cap)
+            idx, ww, tv_e, ts_e = idx[okm], ww[okm], tv_e[okm], ts_e[okm]
+            src_v = (idx // (S * M)).astype(np.int64)
+            src_s = (idx // M) % S
+            gid_a = src_v * S + src_s
+            gid_b = tv_e.astype(np.int64) * S + ts_e
 
         # optional collinearity edges: same-view collinear segment pairs with
         # consistent 3D estimates (reference: line3D.cc:1904-1974)

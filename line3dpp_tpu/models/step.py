@@ -56,6 +56,104 @@ def _median_positive(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cnt > 0, med, EPS)
 
 
+def _match_score_filter(
+    segments, seg_mask, RtKinv, C, k_reg, neighbor_ids, F, pair_valid,
+    *, epipolar_overlap, knn, two_sig_a_sqr, min_similarity,
+    check_orientation, min_best_score, min_best_score_perc, pair_chunk,
+    use_pallas_matching, use_pallas_scoring, src_rows=None):
+    """Matching -> scoring -> filtering -> per-view medians for a batch of
+    source views.
+
+    ``segments``/``seg_mask`` and the camera tables cover ALL views;
+    ``neighbor_ids``/``F``/``pair_valid`` cover only the source batch.
+    ``src_rows`` selects the batch (defaults to every view) — the blocked
+    large-scene path slices the view axis this way (targets can lie outside
+    the block; only O(Vb*S*M) memory is live per block)."""
+    S = seg_mask.shape[1]
+    N = neighbor_ids.shape[1]
+    k = knn
+    M = N * k
+
+    if src_rows is None:
+        src_rows = jnp.arange(seg_mask.shape[0], dtype=jnp.int32)
+    Vb = src_rows.shape[0]
+
+    src_idx = jnp.repeat(src_rows, N)
+    tgt_idx = neighbor_ids.reshape(-1)
+    if use_pallas_matching:
+        from ..ops import matching_pallas
+
+        pm = matching_pallas.match_pairs_pallas(
+            segments, seg_mask, RtKinv, C,
+            src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
+            epipolar_overlap=epipolar_overlap, knn=k,
+        )
+
+        # (P, k, S) -> (Vb, S, M): keep the big segment axis on lanes until
+        # the final transpose (lane dims S and M are both large)
+        def regroup(x):
+            return x.reshape(Vb, N * k, S).swapaxes(1, 2)
+    else:
+        pm = matching_ops.match_pairs_chunked(
+            segments, seg_mask, RtKinv, C,
+            src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
+            epipolar_overlap, k, chunk=pair_chunk,
+        )
+
+        # regroup (Vb*N, S, k) -> (Vb, S, M) with neighbor-grouped M axis
+        def regroup(x):
+            x = x.reshape(Vb, N, S, k)
+            return jnp.moveaxis(x, 1, 2).reshape(Vb, S, M)
+
+    t_seg = regroup(pm.tgt_seg)
+    t_valid = regroup(pm.valid)
+    d_p1 = regroup(pm.d_p1)
+    d_p2 = regroup(pm.d_p2)
+
+    seg_src = segments[src_rows]
+    RtKinv_src = RtKinv[src_rows]
+    C_src = C[src_rows]
+    k_src = k_reg[src_rows]
+
+    r1, r2 = geo.segment_rays(RtKinv_src[:, None], seg_src)
+    mid = 0.5 * (seg_src[..., 0:2] + seg_src[..., 2:4])
+    rmid = geo.rays_from_pixels(RtKinv_src[:, None], mid)
+
+    if use_pallas_scoring:
+        from ..ops import scoring_pallas
+
+        scored = scoring_pallas.score_matches_pallas(
+            r1, r2, rmid, C_src, k_src, neighbor_ids,
+            d_p1, d_p2, t_valid,
+            knn=k, two_sig_a_sqr=two_sig_a_sqr,
+            min_similarity=min_similarity,
+            check_orientation=check_orientation,
+            C_table=C, k_table=k_reg,
+        )
+    else:
+        scored = scoring_ops.score_matches(
+            r1, r2, rmid, C_src, k_src, neighbor_ids,
+            d_p1, d_p2, t_valid,
+            knn=k, two_sig_a_sqr=two_sig_a_sqr,
+            min_similarity=min_similarity,
+            check_orientation=check_orientation,
+            C_table=C, k_table=k_reg,
+        )
+
+    fm = affinity_ops.filter_matches(
+        r1, r2, C_src, scored.score3d, scored.valid,
+        d_p1, d_p2, min_best_score, min_best_score_perc,
+    )
+
+    both = jnp.concatenate([fm.est_d1, fm.est_d2], axis=1)
+    bvalid = jnp.concatenate([fm.est_valid, fm.est_valid], axis=1)
+    median_depth = jax.vmap(_median_positive)(both, bvalid)
+
+    return dict(t_seg=t_seg, t_valid=t_valid, d_p1=d_p1, d_p2=d_p2,
+                scored=scored, fm=fm, median_depth=median_depth,
+                r1=r1, r2=r2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -88,79 +186,17 @@ def forward_step(
     use_pallas_matching: bool = False,
     use_pallas_scoring: bool = False,
 ) -> StepOutputs:
-    V, S = seg_mask.shape
-    N = neighbor_ids.shape[1]
-    k = knn
-    M = N * k
-
-    # ---- matching over all (view, neighbor-slot) pairs ----
-    src_idx = jnp.repeat(jnp.arange(V, dtype=jnp.int32), N)
-    tgt_idx = neighbor_ids.reshape(-1)
-    if use_pallas_matching:
-        from ..ops import matching_pallas
-
-        pm = matching_pallas.match_pairs_pallas(
-            segments, seg_mask, RtKinv, C,
-            src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
-            epipolar_overlap=epipolar_overlap, knn=k,
-        )
-
-        # (P, k, S) -> (V, S, M): keep the big segment axis on lanes until
-        # the final transpose (lane dims S and M are both large)
-        def regroup(x):
-            return x.reshape(V, N * k, S).swapaxes(1, 2)
-    else:
-        pm = matching_ops.match_pairs_chunked(
-            segments, seg_mask, RtKinv, C,
-            src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
-            epipolar_overlap, k, chunk=pair_chunk,
-        )
-
-        # regroup (V*N, S, k) -> (V, S, M) with neighbor-grouped M axis
-        def regroup(x):
-            x = x.reshape(V, N, S, k)
-            return jnp.moveaxis(x, 1, 2).reshape(V, S, M)
-
-    t_seg = regroup(pm.tgt_seg)
-    t_valid = regroup(pm.valid)
-    d_p1 = regroup(pm.d_p1)
-    d_p2 = regroup(pm.d_p2)
-
-    # ---- scoring ----
-    r1, r2 = geo.segment_rays(RtKinv[:, None], segments)
-    mid = 0.5 * (segments[..., 0:2] + segments[..., 2:4])
-    rmid = geo.rays_from_pixels(RtKinv[:, None], mid)
-
-    if use_pallas_scoring:
-        from ..ops import scoring_pallas
-
-        scored = scoring_pallas.score_matches_pallas(
-            r1, r2, rmid, C, k_reg, neighbor_ids,
-            d_p1, d_p2, t_valid,
-            knn=k, two_sig_a_sqr=two_sig_a_sqr,
-            min_similarity=min_similarity,
-            check_orientation=check_orientation,
-        )
-    else:
-        scored = scoring_ops.score_matches(
-            r1, r2, rmid, C, k_reg, neighbor_ids,
-            d_p1, d_p2, t_valid,
-            knn=k, two_sig_a_sqr=two_sig_a_sqr,
-            min_similarity=min_similarity,
-            check_orientation=check_orientation,
-        )
-
-    # ---- filtering ----
-    fm = affinity_ops.filter_matches(
-        r1, r2, C, scored.score3d, scored.valid,
-        d_p1, d_p2,
-        min_best_score, min_best_score_perc,
+    msf = _match_score_filter(
+        segments, seg_mask, RtKinv, C, k_reg, neighbor_ids, F, pair_valid,
+        epipolar_overlap=epipolar_overlap, knn=knn,
+        two_sig_a_sqr=two_sig_a_sqr, min_similarity=min_similarity,
+        check_orientation=check_orientation, min_best_score=min_best_score,
+        min_best_score_perc=min_best_score_perc, pair_chunk=pair_chunk,
+        use_pallas_matching=use_pallas_matching,
+        use_pallas_scoring=use_pallas_scoring,
     )
-
-    # per-view median depth of kept best matches (line3D.cc:1657-1668)
-    both = jnp.concatenate([fm.est_d1, fm.est_d2], axis=1)      # (V, 2S)
-    bvalid = jnp.concatenate([fm.est_valid, fm.est_valid], axis=1)
-    median_depth = jax.vmap(_median_positive)(both, bvalid)
+    t_seg, t_valid = msf["t_seg"], msf["t_valid"]
+    scored, fm, median_depth = msf["scored"], msf["fm"], msf["median_depth"]
 
     # median scene depth over views for the affinity depth cutoff
     # (line3D.cc:1758-1774); a static override keeps parity with the

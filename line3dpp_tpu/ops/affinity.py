@@ -114,6 +114,89 @@ def compact_edges(aff: "AffinityDense", size: int):
         aff.weight, aff.edge_valid, aff.tgt_view, aff.tgt_seg, size))
 
 
+def _compact_kept_impl(kept, tgt_seg, size):
+    flat = kept.reshape(-1)
+    idx = jnp.nonzero(flat, size=size, fill_value=-1)[0]
+    ok = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    return idx, ok, tgt_seg.reshape(-1)[safe]
+
+
+_compact_kept_jit = jax.jit(_compact_kept_impl, static_argnames=("size",))
+
+
+def compact_kept(kept: jnp.ndarray, tgt_seg: jnp.ndarray, size: int):
+    """Device-side compaction of kept matches: flat indices into the
+    [Vb, S, M] block plus each match's target segment (host arrays)."""
+    return tuple(np.asarray(x) for x in _compact_kept_jit(kept, tgt_seg, size))
+
+
+@jax.jit
+def affinity_edges_flat(
+    est_P1, est_P2, est_d1, est_d2, est_valid,   # (V, S, ...) global tables
+    src_v, src_s, tgt_v, tgt_s, edge_ok,         # (E,) flat edges
+    k_reg, median_depth,                          # (V,)
+    med_scene, two_sig_a_sqr, min_affinity,
+):
+    """Edge-wise affinity similarity over a flat candidate-edge list — the
+    O(E) formulation of :func:`affinity_dense` used by the blocked
+    large-scene path (same math: line3D.cc:1449-1553).  Pad E as needed."""
+    g = lambda T, v, s: T[v, s]
+    P1a = [g(est_P1[..., i], src_v, src_s) for i in range(3)]   # (E,)
+    P2a = [g(est_P2[..., i], src_v, src_s) for i in range(3)]
+    P1b = [g(est_P1[..., i], tgt_v, tgt_s) for i in range(3)]
+    P2b = [g(est_P2[..., i], tgt_v, tgt_s) for i in range(3)]
+    d1a = g(est_d1, src_v, src_s)
+    d2a = g(est_d2, src_v, src_s)
+    d1b = g(est_d1, tgt_v, tgt_s)
+    d2b = g(est_d2, tgt_v, tgt_s)
+    va = g(est_valid, src_v, src_s)
+    vb = g(est_valid, tgt_v, tgt_s)
+
+    dva = [q - p for p, q in zip(P1a, P2a)]
+    lena = jnp.sqrt(sum(c * c for c in dva))
+    dira = [c / jnp.maximum(lena, EPS) for c in dva]
+    dvb = [q - p for p, q in zip(P1b, P2b)]
+    lenb = jnp.sqrt(sum(c * c for c in dvb))
+    dirb = [c / jnp.maximum(lenb, EPS) for c in dvb]
+
+    ok = edge_ok & va & vb & (lena > EPS) & (lenb > EPS)
+
+    dot = jnp.clip(jnp.abs(sum(a * b for a, b in zip(dira, dirb))), 0.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(dot))
+    sim_a = jnp.exp(-ang * ang / two_sig_a_sqr)
+
+    med_scene = jnp.asarray(med_scene, jnp.float32)
+    scene_cut = jnp.where(med_scene > EPS, med_scene, jnp.inf)
+    cut_a = jnp.minimum(median_depth[src_v], scene_cut)
+    cut_b = jnp.minimum(median_depth[tgt_v], scene_cut)
+    k_a = k_reg[src_v]
+    k_b = k_reg[tgt_v]
+    sig11 = jnp.minimum(d1a, cut_a) * k_a
+    sig12 = jnp.minimum(d2a, cut_a) * k_a
+    sig21 = jnp.minimum(d1b, cut_b) * k_b
+    sig22 = jnp.minimum(d2b, cut_b) * k_b
+
+    def p2l(P, L0, Ld):
+        w = [p - l0 for p, l0 in zip(P, L0)]
+        w2 = sum(c * c for c in w)
+        proj = sum(c * d for c, d in zip(w, Ld))
+        return jnp.sqrt(jnp.maximum(w2 - proj * proj, 0.0))
+
+    d11 = p2l(P1a, P1b, dirb)
+    d12 = p2l(P2a, P1b, dirb)
+    d21 = p2l(P1b, P1a, dira)
+    d22 = p2l(P2b, P1a, dira)
+
+    expf = lambda d, sig: jnp.exp(-d * d / jnp.maximum(2.0 * sig * sig, EPS))
+    sim_p1 = jnp.minimum(expf(d11, sig11), expf(d12, sig12))
+    sim_p2 = jnp.minimum(expf(d21, sig21), expf(d22, sig22))
+    sim = jnp.minimum(sim_a, jnp.minimum(sim_p1, sim_p2))
+
+    valid = ok & (sim > min_affinity)
+    return jnp.where(valid, sim, 0.0), valid
+
+
 class AffinityDense(NamedTuple):
     weight: jnp.ndarray       # (V, S, M) f32 similarity of (seg, match-target)
     edge_valid: jnp.ndarray   # (V, S, M) bool

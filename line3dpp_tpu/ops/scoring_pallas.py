@@ -78,32 +78,39 @@ def _kernel(d1_ref, d2_ref, valid_ref,
     reg1 = sig1 * sig1 + sig1t * sig1t
     reg2 = sig2 * sig2 + sig2t * sig2t
 
-    # pairwise similarities over the (m, m') tile, (Bt, M, M)
-    # |dot| folds the angle to [0, 90] directly (the XLA path folds after
-    # arccos; same value)
-    dot = jnp.clip(jnp.abs(
-        sum(c[:, :, None] * c[:, None, :] for c in dirc)), 0.0, 1.0)
-    ang_deg = _acos_approx(dot) * (180.0 / math.pi)
-    sim_a = jnp.exp(-ang_deg * ang_deg / two_sig_a_sqr)
-
-    dd1 = d1[:, :, None] - d1[:, None, :]
-    dd2 = d2[:, :, None] - d2[:, None, :]
-    sim_p = jnp.minimum(
-        jnp.exp(-dd1 * dd1 / jnp.maximum(reg1[:, :, None], EPS)),
-        jnp.exp(-dd2 * dd2 / jnp.maximum(reg2[:, :, None], EPS)),
-    )
-    sim = jnp.minimum(sim_a, sim_p)
+    # pairwise similarities, one neighbor group of m' at a time: the full
+    # (Bt, M, M) tile overflows the remote Mosaic compiler; (Bt, M, k)
+    # slices keep intermediates tiny and the per-camera max falls out of
+    # the loop (reference semantics: per-camera max of
+    # min(sim_angle, sim_pos) summed over *other* cameras,
+    # line3D.cc:1250-1275).  |dot| folds the angle to [0, 90] directly.
     okf = ok.astype(jnp.float32)
-    # float masks: rank-3 bool broadcasts miscompile in Mosaic
-    sim = jnp.where(sim > min_similarity, sim, 0.0)
-    sim = sim * okf[:, :, None] * okf[:, None, :]
-
-    # per-camera max over each neighbor group, summed over *other* groups:
-    # static loop over the N groups (rank-4 reshapes are fragile in-kernel)
+    inv_reg1 = 1.0 / jnp.maximum(reg1, EPS)
+    inv_reg2 = 1.0 / jnp.maximum(reg2, EPS)
     own_group = jax.lax.broadcasted_iota(jnp.int32, (Bt, M), 1) // knn
     score = jnp.zeros((Bt, M), jnp.float32)
+    deg = 180.0 / math.pi
     for g in range(n_groups):
-        maxg = jnp.max(sim[:, :, g * knn:(g + 1) * knn], axis=-1)
+        lo, hi = g * knn, (g + 1) * knn
+        d1g = d1[:, lo:hi]                    # (Bt, k)
+        d2g = d2[:, lo:hi]
+        okg = okf[:, lo:hi]
+        dot = jnp.clip(jnp.abs(sum(
+            c[:, :, None] * c[:, lo:hi][:, None, :] for c in dirc)),
+            0.0, 1.0)
+        ang_deg = _acos_approx(dot) * deg
+        sim_a = jnp.exp(-ang_deg * ang_deg / two_sig_a_sqr)
+
+        dd1 = d1[:, :, None] - d1g[:, None, :]
+        dd2 = d2[:, :, None] - d2g[:, None, :]
+        sim_p = jnp.minimum(
+            jnp.exp(-dd1 * dd1 * inv_reg1[:, :, None]),
+            jnp.exp(-dd2 * dd2 * inv_reg2[:, :, None]),
+        )
+        sim = jnp.minimum(sim_a, sim_p)
+        sim = jnp.where(sim > min_similarity, sim, 0.0)
+        sim = sim * okf[:, :, None] * okg[:, None, :]
+        maxg = jnp.max(sim, axis=-1)          # per-camera max (Bt, M)
         score = score + jnp.where(own_group == g, 0.0, maxg)
 
     score_ref[0] = score * okf
@@ -129,7 +136,7 @@ def score_matches_pallas(
     two_sig_a_sqr: float,
     min_similarity: float = 0.5,
     check_orientation: bool = True,
-    seg_tile: int = 64,
+    seg_tile: int = 16,
     interpret: bool = False,
     C_table: jnp.ndarray | None = None,
     k_table: jnp.ndarray | None = None,
