@@ -28,9 +28,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import affinity as affinity_ops
-from ..ops import geometry as geo
-from ..ops import matching as matching_ops
-from ..ops import scoring as scoring_ops
 from ..models.step import StepOutputs, _median_positive
 
 EPS = 1e-12
@@ -60,56 +57,29 @@ def _local_step(
     Vl, S = mask_local.shape
     N = nbr_local.shape[1]
     k = knn
-    M = N * k
 
     # --- collective 1: segments of all views (targets may be remote) ---
     seg_all = jax.lax.all_gather(seg_local, AXIS, axis=0, tiled=True)
     mask_all = jax.lax.all_gather(mask_local, AXIS, axis=0, tiled=True)
 
-    src_idx = src_base[0] + jnp.repeat(jnp.arange(Vl, dtype=jnp.int32), N)
-    tgt_idx = nbr_local.reshape(-1)
+    src_rows = src_base[0] + jnp.arange(Vl, dtype=jnp.int32)
 
-    pm = matching_ops.match_pairs_chunked(
-        seg_all, mask_all, RtKinv, C,
-        src_idx, tgt_idx, F_local.reshape(-1, 3, 3), pv_local.reshape(-1),
-        epipolar_overlap, k, chunk=pair_chunk,
+    from ..models.step import _match_score_filter
+
+    msf = _match_score_filter(
+        seg_all, mask_all, RtKinv, C, k_reg,
+        nbr_local, F_local, pv_local,
+        epipolar_overlap=epipolar_overlap, knn=k,
+        two_sig_a_sqr=two_sig_a_sqr, min_similarity=min_similarity,
+        check_orientation=check_orientation, min_best_score=min_best_score,
+        min_best_score_perc=min_best_score_perc, pair_chunk=pair_chunk,
+        use_pallas_matching=False, use_pallas_scoring=False,
+        src_rows=src_rows,
     )
-
-    def regroup(x):
-        x = x.reshape(Vl, N, S, k, *x.shape[3:])
-        return jnp.moveaxis(x, 1, 2).reshape(Vl, S, M, *x.shape[4:])
-
-    t_seg = regroup(pm.tgt_seg)
-    t_valid = regroup(pm.valid)
-    d_p1 = regroup(pm.d_p1)
-    d_p2 = regroup(pm.d_p2)
-
-    # --- local scoring (src-view local; targets resolved via global tables) ---
-    RtKinv_local = jax.lax.dynamic_slice_in_dim(RtKinv, src_base[0], Vl, axis=0)
-    C_local = jax.lax.dynamic_slice_in_dim(C, src_base[0], Vl, axis=0)
-    k_local = jax.lax.dynamic_slice_in_dim(k_reg, src_base[0], Vl, axis=0)
-
-    r1, r2 = geo.segment_rays(RtKinv_local[:, None], seg_local)
-    mid = 0.5 * (seg_local[..., 0:2] + seg_local[..., 2:4])
-    rmid = geo.rays_from_pixels(RtKinv_local[:, None], mid)
-
-    scored = scoring_ops.score_matches(
-        r1, r2, rmid, C_local, k_local, nbr_local,
-        d_p1, d_p2, t_valid,
-        knn=k, two_sig_a_sqr=two_sig_a_sqr, min_similarity=min_similarity,
-        check_orientation=check_orientation,
-        C_table=C, k_table=k_reg,
-    )
-
-    fm = affinity_ops.filter_matches(
-        r1, r2, C_local, scored.score3d, scored.valid,
-        d_p1, d_p2,
-        min_best_score, min_best_score_perc,
-    )
-
-    both = jnp.concatenate([fm.est_d1, fm.est_d2], axis=1)
-    bvalid = jnp.concatenate([fm.est_valid, fm.est_valid], axis=1)
-    median_local = jax.vmap(_median_positive)(both, bvalid)
+    t_seg, t_valid = msf["t_seg"], msf["t_valid"]
+    scored, fm = msf["scored"], msf["fm"]
+    median_local = msf["median_depth"]
+    k_local = k_reg[src_rows]
 
     # --- collective 2: estimates + median depths for the affinity stage ---
     gather = lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True)
