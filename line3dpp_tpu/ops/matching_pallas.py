@@ -30,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .matching import PairMatches
 
 EPS = 1e-12
-DOT3 = (((0,), (0,)), ((), ()))   # contract the leading 3-axis of both
 
 
 def _kernel(e1_ref, e2_ref, rp1_ref, rp2_ref, ns_ref, ntg_ref,
@@ -43,9 +42,14 @@ def _kernel(e1_ref, e2_ref, rp1_ref, rp2_ref, ns_ref, ntg_ref,
     q1 = q1_ref[0]            # (3, S)
     dq = dq_ref[0]
 
-    dot = lambda a, b: jax.lax.dot_general(
-        a, b, DOT3, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    # K=3 contraction as explicit f32 broadcast sums on the VPU: the MXU
+    # rounds through bf16 even under Precision.HIGHEST in Mosaic, and the
+    # epipolar parameters are too precision-sensitive for that (marginal
+    # matches flip, collapsing downstream scores)
+    def dot(a, b):
+        return (a[0][:, None] * b[0][None, :]
+                + a[1][:, None] * b[1][None, :]
+                + a[2][:, None] * b[2][None, :])
 
     # epipolar intersection parameters along each target segment
     e1q1 = dot(e1, q1)        # (TS, S)
@@ -149,8 +153,10 @@ def match_pairs_pallas(
     p2h = jnp.concatenate([segments[..., 2:4].swapaxes(1, 2), ones], axis=1)
 
     # per-segment rays and plane normals (small, (V, 3, S))
+    HI = jax.lax.Precision.HIGHEST
+
     def rays(v_p):
-        r = jnp.einsum("vij,vjs->vis", RtKinv, v_p)
+        r = jnp.einsum("vij,vjs->vis", RtKinv, v_p, precision=HI)
         return r / jnp.maximum(
             jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True)), EPS)
 
@@ -162,13 +168,13 @@ def match_pairs_pallas(
     # gather per-pair tensors
     gs = lambda x: x[src_idx]
     gt = lambda x: x[tgt_idx]
-    e1 = jnp.einsum("pij,pjs->pis", F, gs(p1h))   # epipolar lines F p1h
-    e2 = jnp.einsum("pij,pjs->pis", F, gs(p2h))
+    e1 = jnp.einsum("pij,pjs->pis", F, gs(p1h), precision=HI)  # F p1h
+    e2 = jnp.einsum("pij,pjs->pis", F, gs(p2h), precision=HI)
     dqh = gt(p2h) - gt(p1h)
 
     Cs, Ct = C[src_idx], C[tgt_idx]
-    num_src = jnp.einsum("pis,pi->ps", gt(n), Ct - Cs)   # (P, S) per target
-    num_tgt = jnp.einsum("pis,pi->ps", gs(n), Cs - Ct)   # (P, S) per source
+    num_src = jnp.einsum("pis,pi->ps", gt(n), Ct - Cs, precision=HI)
+    num_tgt = jnp.einsum("pis,pi->ps", gs(n), Cs - Ct, precision=HI)
     seglen = jnp.sqrt(jnp.sum(
         (segments[..., 2:4] - segments[..., 0:2]) ** 2, axis=-1))  # (V, S)
     smask = (seg_mask[src_idx] & pair_valid[:, None]).astype(jnp.float32)

@@ -136,7 +136,7 @@ def score_matches_pallas(
     two_sig_a_sqr: float,
     min_similarity: float = 0.5,
     check_orientation: bool = True,
-    seg_tile: int = 16,
+    seg_tile: int = 0,
     interpret: bool = False,
     C_table: jnp.ndarray | None = None,
     k_table: jnp.ndarray | None = None,
@@ -144,6 +144,12 @@ def score_matches_pallas(
     V, S, M = d_p1.shape
     N = neighbor_ids.shape[1]
     assert M == N * knn
+    if seg_tile <= 0:
+        # the unrolled per-group loop keeps ~n_groups * 6 * (Bt, M, k)
+        # buffers live on the VMEM stack; scale the segment tile so the
+        # working set stays well under the 16 MB scoped limit
+        budget = 2_000_000 // max(N * 6 * M * knn, 1)
+        seg_tile = max(8, min(64, (budget // 8) * 8))
 
     if C_table is None:
         C_table = C
