@@ -127,8 +127,10 @@ def _obs_residual(params, KinvT, R, t, p1h, p2h, seg_dir):
     """
     s, w = params[:3], params[3]
     m, v = plucker_from_params(s, w)
-    n_cam = R @ m + jnp.cross(t, R @ v)
-    l_img = KinvT @ n_cam
+    HI = jax.lax.Precision.HIGHEST
+    mv3 = lambda A, x: jnp.einsum("ij,j->i", A, x, precision=HI)
+    n_cam = mv3(R, m) + jnp.cross(t, mv3(R, v))
+    l_img = mv3(KinvT, n_cam)
     norm = jnp.sqrt(l_img[0] ** 2 + l_img[1] ** 2)
     inv = 1.0 / jnp.maximum(norm, EPS)
     d1 = jnp.dot(l_img, p1h) * inv
@@ -189,9 +191,13 @@ def lm_optimize(
         Jw = hw[..., None] * J                  # (O, 2, 4)
 
         JTJ = jax.ops.segment_sum(
-            jnp.einsum("oki,okj->oij", Jw, Jw), obs_cluster, C)   # (C,4,4)
+            jnp.einsum("oki,okj->oij", Jw, Jw,
+                       precision=jax.lax.Precision.HIGHEST),
+            obs_cluster, C)                                       # (C,4,4)
         g = jax.ops.segment_sum(
-            jnp.einsum("oki,ok->oi", Jw, rw), obs_cluster, C)     # (C,4)
+            jnp.einsum("oki,ok->oi", Jw, rw,
+                       precision=jax.lax.Precision.HIGHEST),
+            obs_cluster, C)                                       # (C,4)
 
         diag = jnp.diagonal(JTJ, axis1=-2, axis2=-1)
         A = JTJ + (lam[:, None] * jnp.maximum(diag, 1e-8))[:, :, None] * jnp.eye(

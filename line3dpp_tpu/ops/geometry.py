@@ -79,9 +79,11 @@ def line_through(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 def project_points(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
                    X: jnp.ndarray) -> jnp.ndarray:
     """Project world points (...,3) into pixels (...,2) (view.cc:374-392)."""
-    q = jnp.einsum("...ij,...j->...i", R, X) + t
+    q = jnp.einsum("...ij,...j->...i", R, X,
+                   precision=jax.lax.Precision.HIGHEST) + t
     q = q / jnp.where(jnp.abs(q[..., 2:3]) > EPS, q[..., 2:3], EPS)
-    uv = jnp.einsum("...ij,...j->...i", K, q)
+    uv = jnp.einsum("...ij,...j->...i", K, q,
+                    precision=jax.lax.Precision.HIGHEST)
     return uv[..., :2] / jnp.where(jnp.abs(uv[..., 2:3]) > EPS, uv[..., 2:3], EPS)
 
 
