@@ -1,0 +1,51 @@
+"""Synthetic end-to-end pipeline test through the public API
+(the fast counterpart of tools/drive_synthetic.py and the golden e2e)."""
+
+import numpy as np
+
+import line3dpp_tpu as l3d
+from line3dpp_tpu.camera import rotation_from_rpy
+from line3dpp_tpu.utils.golden import segment_set_metrics
+
+
+def test_synthetic_reconstruction(rng, tmp_path):
+    n_lines = 12
+    P = rng.uniform([-2, -1.5, 6], [2, 1.5, 10], size=(n_lines, 3))
+    d = rng.normal(size=(n_lines, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    Q = P + d * rng.uniform(0.8, 1.6, size=(n_lines, 1))
+
+    K = np.array([[1200.0, 0, 960], [0, 1200.0, 540], [0, 0, 1]])
+    cams = []
+    for i in range(6):
+        R = rotation_from_rpy(rng.normal() * 0.02, -0.06 * i + 0.15,
+                              rng.normal() * 0.02)
+        C = np.array([0.6 * i - 1.5, rng.normal() * 0.05, rng.normal() * 0.05])
+        cams.append(l3d.Camera(K, R, -R @ C, 1920, 1080))
+
+    pipe = l3d.Line3D(l3d.Config(num_neighbors=5, max_line_segments=100,
+                                 optimize=False))
+    for i, cam in enumerate(cams):
+        segs = np.hstack([cam.project(P), cam.project(Q)])
+        junk = rng.uniform([0, 0, 0, 0], [1920, 1080, 1920, 1080], size=(5, 4))
+        pipe.add_view(i, cam, np.vstack([segs, junk]))
+
+    pipe.match_images()
+    lines = pipe.reconstruct_3d_lines()
+    assert len(lines) >= n_lines * 0.8
+
+    gt = np.hstack([P, Q])
+    pred = np.concatenate([l.segments3d for l in lines])
+    m = segment_set_metrics(pred, gt, tol=0.05)
+    assert m["recall"] > 0.95 and m["precision"] > 0.95, m
+
+    # writers round-trip
+    pipe.save_txt(str(tmp_path / "o.txt"))
+    pipe.save_bin(str(tmp_path / "o.bin"))
+    from line3dpp_tpu.utils.writers import load_bin
+    from line3dpp_tpu.utils.golden import parse_lines3d_txt
+
+    assert len(parse_lines3d_txt(str(tmp_path / "o.txt"))) == len(lines)
+    back = load_bin(str(tmp_path / "o.bin"))
+    assert len(back) == len(lines)
+    np.testing.assert_allclose(back[0].segments3d, lines[0].segments3d)
