@@ -84,10 +84,13 @@ def save_bin(path: str, lines: list[FinalLine3D]) -> None:
         np.concatenate([l.residuals for l in lines], axis=0)
         if lines else np.zeros((0, 6))
     )
-    np.savez_compressed(
-        path, seg_counts=seg_counts, res_counts=res_counts, segments=segs,
-        residuals=ress,
-    )
+    # write through a file handle so numpy does not append ".npz" to the
+    # caller's (reference-format) path
+    with open(path, "wb") as f:
+        np.savez_compressed(
+            f, seg_counts=seg_counts, res_counts=res_counts, segments=segs,
+            residuals=ress,
+        )
 
 
 def load_bin(path: str) -> list[FinalLine3D]:
