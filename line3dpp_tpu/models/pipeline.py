@@ -303,7 +303,7 @@ class Line3D:
             n_kept = int(jnp.sum(out["fm"].kept))
             if n_kept == 0:
                 continue
-            cap = max(1 << (n_kept - 1).bit_length(), 1024)
+            cap = affinity_ops.compaction_capacity(n_kept)
             idx, okm, ts = affinity_ops.compact_kept(
                 out["fm"].kept, out["t_seg"], cap)
             idx, ts = idx[okm], ts[okm]
@@ -326,7 +326,7 @@ class Line3D:
             tv = np.concatenate(edge_tv).astype(np.int32)
             ts = np.concatenate(edge_ts).astype(np.int32)
             E = len(sv)
-            cap = max(1 << (E - 1).bit_length(), 1024)
+            cap = affinity_ops.compaction_capacity(E)
             padE = cap - E
             padz = lambda x: np.concatenate([x, np.zeros(padE, x.dtype)])
             w, valid = affinity_ops.affinity_edges_flat(
@@ -389,7 +389,7 @@ class Line3D:
             # (line3D.cc:1881-1899).  Only O(E) bytes cross to the host.
             M = aff.weight.shape[2]
             n_edges = affinity_ops.count_edges(aff.edge_valid)
-            cap = max(1 << (n_edges - 1).bit_length() if n_edges else 1, 1024)
+            cap = affinity_ops.compaction_capacity(n_edges)
             idx, okm, ww, tv_e, ts_e = affinity_ops.compact_edges(aff, cap)
             idx, ww, tv_e, ts_e = idx[okm], ww[okm], tv_e[okm], ts_e[okm]
             src_v = (idx // (S * M)).astype(np.int64)

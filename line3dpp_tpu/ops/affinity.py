@@ -85,6 +85,15 @@ def count_edges(edge_valid: jnp.ndarray) -> int:
     return int(jnp.sum(edge_valid))
 
 
+def compaction_capacity(n: int, floor: int = 65536) -> int:
+    """Round a compaction size up to a power-of-4 bucket (floor 64k): every
+    distinct capacity is a fresh jit executable, and remote compiles cost
+    minutes — coarse buckets keep the variants rare across blocks/runs."""
+    n = max(n, 1)
+    cap = 1 << (-(-((n - 1).bit_length()) // 2) * 2)
+    return max(cap, floor)
+
+
 def _compact_impl(weight, edge_valid, tgt_view, tgt_seg, size):
     flat_valid = edge_valid.reshape(-1)
     idx = jnp.nonzero(flat_valid, size=size, fill_value=-1)[0]
