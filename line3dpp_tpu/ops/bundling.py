@@ -45,14 +45,6 @@ HUBER_DELTA = 2.0
 # Cayley <-> Plücker
 # ---------------------------------------------------------------------------
 
-def _skew(s):
-    z = jnp.zeros_like(s[..., 0])
-    return jnp.stack([
-        jnp.stack([z, -s[..., 2], s[..., 1]], -1),
-        jnp.stack([s[..., 2], z, -s[..., 0]], -1),
-        jnp.stack([-s[..., 1], s[..., 0], z], -1),
-    ], -2)
-
 
 def cayley_to_rotation(s):
     """U = (I - [s]x)(I + [s]x)^-1 — closed form, batched over leading dims."""
