@@ -46,8 +46,10 @@ def main():
     from PIL import Image
 
     optimize = "--optimize" in sys.argv
+    block = next((int(a.split("=")[1]) for a in sys.argv
+                  if a.startswith("--block=")), -1)
     cams = json.load(open(CAMS))
-    cfg = l3d.Config(optimize=optimize)
+    cfg = l3d.Config(optimize=optimize, view_block=block)
     pipe = l3d.Line3D(cfg)
 
     t0 = time.time()
