@@ -27,7 +27,7 @@ if "--cpu" in sys.argv:
 
 # persistent compilation cache: the axon remote compile takes minutes for the
 # big fused step; cache executables across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_l3d")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import line3dpp_tpu as l3d
