@@ -1,6 +1,8 @@
 """COLMAP sparse-model reader (reference executable: main_colmap.cpp).
 
-Reads the text export `cameras.txt` / `images.txt` / `points3D.txt`.
+Reads both the text export (`cameras.txt` / `images.txt` / `points3D.txt`,
+the only format the reference supports) and COLMAP's default **binary**
+export (`cameras.bin` / `images.bin` / `points3D.bin`), auto-detected.
 Supported camera models (main_colmap.cpp:173-220): SIMPLE_PINHOLE, PINHOLE,
 SIMPLE_RADIAL, RADIAL, OPENCV, FULL_OPENCV.  Worldpoint depths come from
 points3D tracks (main_colmap.cpp:391-407); image->camera indirection is
@@ -10,6 +12,7 @@ preserved.
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
 
@@ -26,6 +29,15 @@ _MODELS = {
                     "k3", "k4", "k5", "k6"),
 }
 
+# COLMAP binary model ids -> (name, num_params)
+_MODEL_IDS = {
+    0: "SIMPLE_PINHOLE", 1: "PINHOLE", 2: "SIMPLE_RADIAL", 3: "RADIAL",
+    4: "OPENCV", 6: "FULL_OPENCV",
+}
+_MODEL_NPARAMS = {
+    0: 3, 1: 4, 2: 4, 3: 5, 4: 8, 5: 8, 6: 12, 7: 5, 8: 4, 9: 5, 10: 12,
+}
+
 
 def _data_lines(path):
     with open(path) as f:
@@ -35,7 +47,89 @@ def _data_lines(path):
                 yield line
 
 
+def _kvals_to_K_dist(model: str, vals: dict):
+    fx = vals.get("fx", vals.get("f"))
+    fy = vals.get("fy", vals.get("f"))
+    K = np.array([[fx, 0, vals["cx"]], [0, fy, vals["cy"]], [0, 0, 1.0]])
+    dist = np.array([vals.get("k1", 0.0), vals.get("k2", 0.0),
+                     vals.get("k3", 0.0), vals.get("p1", 0.0),
+                     vals.get("p2", 0.0)])
+    return K, dist
+
+
+def _read_colmap_bin(model_dir: str, image_dir: str) -> list[SfMView]:
+    """COLMAP binary sparse model (little-endian structs)."""
+    def rd(f, fmt):
+        return struct.unpack("<" + fmt, f.read(struct.calcsize("<" + fmt)))
+
+    cameras = {}
+    with open(os.path.join(model_dir, "cameras.bin"), "rb") as f:
+        (n_cams,) = rd(f, "Q")
+        for _ in range(n_cams):
+            cam_id, model_id = rd(f, "ii")
+            w, h = rd(f, "QQ")
+            params = rd(f, "d" * _MODEL_NPARAMS[model_id])
+            if model_id not in _MODEL_IDS:
+                raise ValueError(
+                    f"unsupported COLMAP camera model id {model_id}")
+            names = _MODELS[_MODEL_IDS[model_id]]
+            vals = dict(zip(names, params))
+            K, dist = _kvals_to_K_dist(_MODEL_IDS[model_id], vals)
+            cameras[cam_id] = (K, dist, int(w), int(h))
+
+    views: dict[int, SfMView] = {}
+    with open(os.path.join(model_dir, "images.bin"), "rb") as f:
+        (n_imgs,) = rd(f, "Q")
+        for _ in range(n_imgs):
+            (img_id,) = rd(f, "i")
+            q = rd(f, "dddd")
+            t = np.array(rd(f, "ddd"))
+            (cam_id,) = rd(f, "i")
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00" or not c:
+                    break
+                name += c
+            (n_pts2d,) = rd(f, "Q")
+            f.seek(n_pts2d * (8 + 8 + 8), os.SEEK_CUR)  # xy + point3D_id
+            K, dist, w, h = cameras[cam_id]
+            views[img_id] = SfMView(
+                cam_id=img_id, K=K.copy(), R=rotation_from_quaternion(q),
+                t=t, image_path=os.path.join(image_dir, name.decode()),
+                width=w, height=h, distortion=dist.copy(), worldpoints=[],
+            )
+
+    depths: dict[int, list[float]] = {i: [] for i in views}
+    p3d = os.path.join(model_dir, "points3D.bin")
+    if os.path.exists(p3d):
+        with open(p3d, "rb") as f:
+            (n_pts,) = rd(f, "Q")
+            for _ in range(n_pts):
+                (wp_id,) = rd(f, "q")
+                X = np.array(rd(f, "ddd"))
+                f.seek(3 + 8, os.SEEK_CUR)          # rgb + error
+                (track_len,) = rd(f, "Q")
+                for _ in range(track_len):
+                    img_id, _p2d = rd(f, "ii")
+                    if img_id in views:
+                        v = views[img_id]
+                        v.worldpoints.append(int(wp_id))
+                        depths[img_id].append(float(v.R[2] @ X + v.t[2]))
+
+    out = []
+    for img_id in sorted(views):
+        v = views[img_id]
+        if depths[img_id]:
+            v.median_depth = float(np.median(depths[img_id]))
+        out.append(v)
+    return out
+
+
 def read_colmap(model_dir: str, image_dir: str) -> list[SfMView]:
+    if (not os.path.exists(os.path.join(model_dir, "cameras.txt"))
+            and os.path.exists(os.path.join(model_dir, "cameras.bin"))):
+        return _read_colmap_bin(model_dir, image_dir)
     cameras = {}
     for line in _data_lines(os.path.join(model_dir, "cameras.txt")):
         parts = line.split()

@@ -155,3 +155,52 @@ def test_undistort_identity_and_shift():
     out2 = undistort_image(img, K, np.array([0.1, 0, 0, 0, 0]))
     assert abs(float(out2[24, 32]) - float(img[24, 32])) < 2.0
     assert not np.allclose(out2, img)
+
+
+def test_read_colmap_binary(tmp_path):
+    import struct
+
+    from line3dpp_tpu.camera import rotation_from_quaternion as rq
+
+    # cameras.bin: PINHOLE (id 1) and SIMPLE_RADIAL (id 2)
+    with open(tmp_path / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+        f.write(struct.pack("<dddd", 500, 510, 320, 240))
+        f.write(struct.pack("<iiQQ", 2, 2, 640, 480))
+        f.write(struct.pack("<dddd", 520, 320, 240, 0.1))
+
+    q = [0.9238795, 0.0, 0.3826834, 0.0]
+    with open(tmp_path / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<i", 7))
+        f.write(struct.pack("<dddd", *q))
+        f.write(struct.pack("<ddd", 0.1, 0.2, 0.3))
+        f.write(struct.pack("<i", 1))
+        f.write(b"a.jpg\x00")
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<ddq", 1.0, 1.0, -1))
+        f.write(struct.pack("<i", 8))
+        f.write(struct.pack("<dddd", 1, 0, 0, 0))
+        f.write(struct.pack("<ddd", 0, 0, 1))
+        f.write(struct.pack("<i", 2))
+        f.write(b"b.jpg\x00")
+        f.write(struct.pack("<Q", 0))
+
+    with open(tmp_path / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<q", 5))
+        f.write(struct.pack("<ddd", 0, 0, 10))
+        f.write(struct.pack("<BBB", 255, 255, 255))
+        f.write(struct.pack("<d", 0.5))
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ii", 7, 1))
+        f.write(struct.pack("<ii", 8, 1))
+
+    views = sfm_io.read_colmap(str(tmp_path), "/imgs")
+    assert [v.cam_id for v in views] == [7, 8]
+    np.testing.assert_allclose(views[0].R, rq(q), atol=1e-7)
+    assert views[0].K[0, 0] == 500 and views[0].K[1, 1] == 510
+    assert views[1].K[0, 0] == 520 and views[1].distortion[0] == 0.1
+    assert views[0].worldpoints == [5] and views[1].worldpoints == [5]
+    assert views[1].median_depth == pytest.approx(11.0)
