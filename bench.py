@@ -7,11 +7,14 @@ bundled-testdata scale: 26 views x 3000 segments x 10 neighbors x kNN 10.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the conservative
-stand-in is CPU Line3D++ matching+scoring on the same workload at ~0.1
-images/s (26 images in ~4-5 min, consistent with the README's "CUDA
-significantly boosts performance" for a then-order-of-magnitude GPU speedup,
-reference README.md:66-67).  vs_baseline = images_per_sec / 0.1.
+Baseline: the reference publishes no numbers (BASELINE.md) and cannot be
+built in this image (no Eigen/Boost, zero egress).  The stand-in is CPU
+Line3D++ matching+scoring on the same workload at ~0.1 images/s — an
+estimate corroborated by executing THIS framework's identical math on the
+host CPU (XLA CPU backend): 217 s for the 26-view testdata phase-2 = 0.12
+images/s, and consistent with the reference README's "CUDA significantly
+boosts performance" for a then-order-of-magnitude GPU speedup
+(reference README.md:66-67).  vs_baseline = images_per_sec / 0.1.
 """
 
 import json
