@@ -122,6 +122,12 @@ def _match_score_filter(
     if use_pallas_scoring:
         from ..ops import scoring_pallas
 
+        # very large match tables (big N*k) overflow the kernel's VMEM
+        # working set — fall back to the chunked XLA path for those
+        use_pallas_scoring = scoring_pallas.pick_seg_tile(N, M, k) >= 8
+    if use_pallas_scoring:
+        from ..ops import scoring_pallas
+
         scored = scoring_pallas.score_matches_pallas(
             r1, r2, rmid, C_src, k_src, neighbor_ids,
             d_p1, d_p2, t_valid,

@@ -37,6 +37,16 @@ def _acos_approx(x):
         1.5707288 + x * (-0.2121144 + x * (0.0742610 - 0.0187293 * x)))
 
 
+def pick_seg_tile(N: int, M: int, knn: int) -> int:
+    """Segment tile keeping the kernel's VMEM working set under budget.
+
+    The unrolled per-group loop keeps ~n_groups * 6 * (Bt, M, k) buffers
+    live on the VMEM stack; returns < 8 when even the smallest legal tile
+    would overflow (callers then fall back to the XLA path)."""
+    budget = 2_000_000 // max(N * 6 * M * knn, 1)
+    return min(64, (budget // 8) * 8)
+
+
 def _kernel(d1_ref, d2_ref, valid_ref,
             r1_refs, r2_refs, rm_refs,     # each: 3 refs (1, 1, Bt)
             C_ref, kv_ref,                 # (1, 1, 3), (1, 1, 1)
@@ -145,11 +155,11 @@ def score_matches_pallas(
     N = neighbor_ids.shape[1]
     assert M == N * knn
     if seg_tile <= 0:
-        # the unrolled per-group loop keeps ~n_groups * 6 * (Bt, M, k)
-        # buffers live on the VMEM stack; scale the segment tile so the
-        # working set stays well under the 16 MB scoped limit
-        budget = 2_000_000 // max(N * 6 * M * knn, 1)
-        seg_tile = max(8, min(64, (budget // 8) * 8))
+        seg_tile = pick_seg_tile(N, M, knn)
+        if seg_tile < 8:
+            raise ValueError(
+                f"match table too large for the Pallas scoring kernel "
+                f"(N={N}, M={M}, k={knn}); use the XLA scoring path")
 
     if C_table is None:
         C_table = C

@@ -64,3 +64,13 @@ def test_rdd_enabled_pipeline(rng):
     cfg = l3d.Config(num_neighbors=4, max_line_segments=64, optimize=False,
                      perform_rdd=True)
     _check(_drive(cfg, cams, P, Q), P, Q, 8)
+
+
+def test_knn_all_matches_mode(rng):
+    # kNN=-1 keeps all matches up to the capacity cap (reference README
+    # flag -k -1, commons.h:53)
+    cams, P, Q = _scene(rng)
+    cfg = l3d.Config(num_neighbors=4, max_line_segments=64, optimize=False,
+                     knn=-1)
+    assert cfg.knn_effective == 32
+    _check(_drive(cfg, cams, P, Q), P, Q, 8)
