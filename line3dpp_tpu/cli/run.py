@@ -41,7 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-y", "--max_segments", type=int, default=3000)
     ap.add_argument("-v", "--visibility", type=int, default=3)
     ap.add_argument("-d", "--diffusion", action="store_true")
-    ap.add_argument("-l", "--no_segment_cache", action="store_true")
+    # reference -l/--load_and_store_flag takes a bool value, default ON
+    # (main_vsfm.cpp loadArg)
+    ap.add_argument("-l", "--load_segments", type=int, default=1,
+                    help="load/store detected segments on disk (1=on, 0=off)")
     ap.add_argument("-r", "--collinearity", type=float, default=-1.0)
     ap.add_argument("-c", "--optimize", action="store_true", default=True)
     ap.add_argument("--no-optimize", dest="optimize", action="store_false")
@@ -61,19 +64,27 @@ def load_views(args):
         m = m or os.path.join(img, "result.nvm")
         return sfm_io.read_nvm(m, img), True
     if args.format == "colmap":
+        if not m:
+            sys.exit("colmap requires -m <sparse_model_dir>")
         return sfm_io.read_colmap(m, img), True
     if args.format == "bundler":
         m = m or os.path.join(img, "bundle.rd.out")
         return sfm_io.read_bundler(m, img), True
     if args.format == "mavmap":
-        if not args.pinhole:
-            sys.exit("mavmap requires -f FX,FY,CX,CY")
-        fx, fy, cx, cy = map(float, args.pinhole.split(","))
-        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        # rows normally carry fx/fy/cx/cy; -f is an optional override for
+        # truncated files
+        K = None
+        if args.pinhole:
+            fx, fy, cx, cy = map(float, args.pinhole.split(","))
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
         return sfm_io.read_mavmap(m or img, img, K), False
     if args.format == "pix4d":
+        if not m:
+            sys.exit("pix4d requires -m <params_dir>")
         return sfm_io.read_pix4d(m, img), False
     if args.format == "openmvg":
+        if not m:
+            sys.exit("openmvg requires -m <sfm_data.json>")
         return sfm_io.read_openmvg(m, img), True
     raise AssertionError
 
@@ -100,14 +111,15 @@ def main(argv=None):
         sigma_a=args.sigma_a, sigma_p=args.sigma_p,
         epipolar_overlap=args.epipolar_overlap, knn=args.knn,
         max_line_segments=args.max_segments, visibility_t=args.visibility,
-        perform_rdd=args.diffusion, load_segments=not args.no_segment_cache,
+        perform_rdd=args.diffusion, load_segments=bool(args.load_segments),
         collinearity_t=args.collinearity, optimize=args.optimize,
         const_regularization_depth=args.const_reg_depth,
     )
     pipe = l3d.Line3D(cfg)
 
     out_dir = args.output_folder or os.path.join(args.image_folder, "Line3D-TPU")
-    cache = None if args.no_segment_cache else os.path.join(out_dir, "L3D_cache")
+    cache = (os.path.join(out_dir, "L3D_cache")
+             if args.load_segments else None)
     os.makedirs(out_dir, exist_ok=True)
 
     print("[L3D-TPU] [1] ADDING IMAGES")

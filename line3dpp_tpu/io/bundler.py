@@ -67,7 +67,9 @@ def read_bundler(bundle_path: str, image_dir: str,
             if 0 <= cam < n_cams:
                 views[cam].worldpoints.append(wp_id)
                 vv = views[cam]
-                depths[cam].append(float(vv.R[2] @ X + vv.t[2]))
+                C_cam = -vv.R.T @ vv.t
+                # Euclidean distance to center (main_bundler.cpp:250)
+                depths[cam].append(float(np.linalg.norm(X - C_cam)))
 
     for v, ds in zip(views, depths):
         if ds:

@@ -68,6 +68,9 @@ def _read_colmap_bin(model_dir: str, image_dir: str) -> list[SfMView]:
         for _ in range(n_cams):
             cam_id, model_id = rd(f, "ii")
             w, h = rd(f, "QQ")
+            if model_id not in _MODEL_NPARAMS:
+                raise ValueError(
+                    f"unknown COLMAP camera model id {model_id}")
             params = rd(f, "d" * _MODEL_NPARAMS[model_id])
             if model_id not in _MODEL_IDS:
                 raise ValueError(
@@ -115,7 +118,8 @@ def _read_colmap_bin(model_dir: str, image_dir: str) -> list[SfMView]:
                     if img_id in views:
                         v = views[img_id]
                         v.worldpoints.append(int(wp_id))
-                        depths[img_id].append(float(v.R[2] @ X + v.t[2]))
+                        depths[img_id].append(
+                            float(np.linalg.norm(X + v.R.T @ v.t)))
 
     out = []
     for img_id in sorted(views):
@@ -147,11 +151,32 @@ def read_colmap(model_dir: str, image_dir: str) -> list[SfMView]:
                          vals.get("p2", 0.0)])
         cameras[cam_id] = (K, dist, w, h)
 
+    def _is_pose_line(line: str) -> bool:
+        # pose: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME — the name is
+        # non-numeric; observation lines are pure number triples
+        parts = line.split()
+        if len(parts) < 10:
+            return False
+        try:
+            float(parts[9])
+            return False
+        except ValueError:
+            return True
+
     views: dict[int, SfMView] = {}
     lines = list(_data_lines(os.path.join(model_dir, "images.txt")))
-    # images.txt alternates pose line / observation line
-    for i in range(0, len(lines), 2):
+    # images.txt alternates pose / observation lines, but an image with zero
+    # keypoints has an EMPTY observation line which _data_lines drops — so
+    # detect pose lines structurally instead of assuming strict alternation
+    i = 0
+    while i < len(lines):
+        if not _is_pose_line(lines[i]):
+            i += 1
+            continue
         parts = lines[i].split()
+        i += 1
+        if i < len(lines) and not _is_pose_line(lines[i]):
+            i += 1                                  # skip the observation line
         img_id = int(parts[0])
         q = list(map(float, parts[1:5]))
         t = np.array(list(map(float, parts[5:8])))
@@ -177,7 +202,9 @@ def read_colmap(model_dir: str, image_dir: str) -> list[SfMView]:
                 if img_id in views:
                     v = views[img_id]
                     v.worldpoints.append(wp_id)
-                    depths[img_id].append(float(v.R[2] @ X + v.t[2]))
+                    # Euclidean distance to center (main_colmap.cpp:400)
+                    depths[img_id].append(
+                        float(np.linalg.norm(X + v.R.T @ v.t)))
 
     out = []
     for img_id in sorted(views):

@@ -1,11 +1,16 @@
 """mavmap `image-data-*.txt` reader (reference executable: main_mavmap.cpp).
 
-Rows: `name, roll, pitch, yaw, lat, lon, alt, h, tx, ty, tz` (csv with
-comment lines).  Rotation from roll/pitch/yaw, then [R|t] inverted to
-world->cam (main_mavmap.cpp:206-226).  mavmap scenes use a PINHOLE
-calibration passed explicitly and *sequential* visual neighbors
+Comma-separated rows (main_mavmap.cpp:176-250):
+
+    name, roll, pitch, yaw, lat, lon, alt, h, tx, ty, tz,
+    camID, camModel, fx, fy, cx, cy
+
+Rotation from roll/pitch/yaw; [R|t] is cam->world and gets inverted to our
+world->cam convention (main_mavmap.cpp:220-231).  Only the PINHOLE camera
+model is supported (main_mavmap.cpp:188-193); per-row fx/fy/cx/cy build each
+camera's K.  mavmap scenes use *sequential* visual neighbors
 (main_mavmap.cpp:311-321) — the caller wires those via
-``Line3D.set_visual_neighbors``.
+``Line3D.set_visual_neighbors`` (see :func:`sequential_neighbors`).
 """
 
 from __future__ import annotations
@@ -19,8 +24,10 @@ from ..camera import rotation_from_rpy
 from .types import SfMView
 
 
-def read_mavmap(data_path: str, image_dir: str, K: np.ndarray,
+def read_mavmap(data_path: str, image_dir: str,
+                K: np.ndarray | None = None,
                 image_ext: str = ".jpg") -> list[SfMView]:
+    """``K`` is an optional override; rows normally carry fx/fy/cx/cy."""
     if os.path.isdir(data_path):
         cands = sorted(glob.glob(os.path.join(data_path, "image-data-*.txt")))
         if not cands:
@@ -38,6 +45,21 @@ def read_mavmap(data_path: str, image_dir: str, K: np.ndarray,
         roll, pitch, yaw = map(float, parts[1:4])
         tx, ty, tz = map(float, parts[8:11])
 
+        if len(parts) >= 17:
+            cam_model = parts[12]
+            if not cam_model.upper().startswith("PINHOLE"):
+                raise ValueError(
+                    f"only the PINHOLE camera model is supported "
+                    f"(got {cam_model}; main_mavmap.cpp:188-193)")
+            fx, fy, cx, cy = map(float, parts[13:17])
+            Ki = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        elif K is not None:
+            Ki = np.asarray(K, np.float64).copy()
+        else:
+            raise ValueError(
+                "image-data row carries no intrinsics and no K override "
+                "was provided")
+
         # mavmap stores cam->world; invert to world->cam
         Rcw = rotation_from_rpy(roll, pitch, yaw)
         Ccw = np.array([tx, ty, tz])
@@ -47,7 +69,7 @@ def read_mavmap(data_path: str, image_dir: str, K: np.ndarray,
         if not os.path.splitext(name)[1]:
             name += image_ext
         views.append(SfMView(
-            cam_id=cam_id, K=np.asarray(K, np.float64).copy(), R=R, t=t,
+            cam_id=cam_id, K=Ki, R=R, t=t,
             image_path=os.path.join(image_dir, name),
             distortion=None, worldpoints=None,
         ))

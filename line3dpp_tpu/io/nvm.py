@@ -67,8 +67,11 @@ def read_nvm(nvm_path: str, image_dir: str | None = None) -> list[SfMView]:
             next(it), next(it)  # u, v
             if 0 <= img < n_cams:
                 views[img].worldpoints.append(wp_id)
-                z = float(views[img].R[2] @ X + views[img].t[2])
-                depths[img].append(z)
+                v = views[img]
+                C_cam = -v.R.T @ v.t
+                # reference uses Euclidean distance to the camera center,
+                # not z-depth (main_vsfm.cpp:247)
+                depths[img].append(float(np.linalg.norm(X - C_cam)))
 
     for v, ds in zip(views, depths):
         if ds:

@@ -75,7 +75,8 @@ def read_openmvg(sfm_json: str, image_dir: str | None = None) -> list[SfMView]:
             if vid in views:
                 v = views[vid]
                 v.worldpoints.append(wp_id)
-                depths[vid].append(float(v.R[2] @ X + v.t[2]))
+                # Euclidean distance to center (main_openmvg.cpp:356)
+                depths[vid].append(float(np.linalg.norm(X + v.R.T @ v.t)))
 
     out = []
     for vid in sorted(views):

@@ -88,12 +88,14 @@ class Line3D:
         segs = None
         if cache_dir and self.config.load_segments:
             segs = segments_cache.load(cache_dir, cam_id, image.shape,
-                                       self.config.max_line_segments)
+                                       self.config.max_line_segments,
+                                       self.config.max_image_width)
         if segs is None:
             segs = lsd_ops.detect(image, max_width=self.config.max_image_width)
             if cache_dir and self.config.load_segments:
                 segments_cache.store(cache_dir, cam_id, image.shape,
-                                     self.config.max_line_segments, segs)
+                                     self.config.max_line_segments, segs,
+                                     self.config.max_image_width)
         self.add_view(cam_id, camera, segs, worldpoints)
 
     def set_visual_neighbors(self, cam_id: int, neighbors: Sequence[int]) -> None:

@@ -86,23 +86,33 @@ def collinear_similarity(est_P1, est_P2, est_d1, est_d2, est_valid,
     Position-only similarity (the pair is collinear in 2D by construction;
     the reference's similarity() for collinear pairs skips the angle term,
     line3D.cc:1460-1465).  Returns (V, S, S) weights + validity.
+
+    All 3-vectors are handled as separate x/y/z component (V, S, S) planes:
+    a (V, S, S, 3) intermediate would lane-pad 3 -> 128 on TPU (see the
+    layout rule in ops/matching.py / CLAUDE.md).
     """
-    dira = est_P2 - est_P1
-    dira = dira / jnp.maximum(jnp.linalg.norm(dira, axis=-1, keepdims=True), EPS)
+    dv = [est_P2[..., i] - est_P1[..., i] for i in range(3)]    # 3x (V, S)
+    lena = jnp.sqrt(sum(c * c for c in dv))
+    dira = [c / jnp.maximum(lena, EPS) for c in dv]
 
+    P1a = [est_P1[..., i][:, :, None] for i in range(3)]        # (V, S, 1)
+    P2a = [est_P2[..., i][:, :, None] for i in range(3)]
+    P1b = [est_P1[..., i][:, None, :] for i in range(3)]        # (V, 1, S)
+    P2b = [est_P2[..., i][:, None, :] for i in range(3)]
+    dir_a = [c[:, :, None] for c in dira]
+    dir_b = [c[:, None, :] for c in dira]
+
+    # d^2 = |w|^2 - (w . dir)^2, component-wise over the (V, S, S) pair grid
     def p2l(P, L0, Ld):
-        w = P - L0
-        return jnp.linalg.norm(
-            w - jnp.sum(w * Ld, -1, keepdims=True) * Ld, axis=-1)
+        w = [p - l0 for p, l0 in zip(P, L0)]
+        w2 = sum(c * c for c in w)
+        proj = sum(c * d for c, d in zip(w, Ld))
+        return jnp.sqrt(jnp.maximum(w2 - proj * proj, 0.0))
 
-    # distances of each segment's endpoints to the partner's 3D line and
-    # vice versa ((V, S, S) via broadcasting over the pair axes)
-    P1a, P2a = est_P1[:, :, None], est_P2[:, :, None]
-    P1b, P2b = est_P1[:, None, :], est_P2[:, None, :]
-    d11 = p2l(P1a, P1b, dira[:, None, :])
-    d12 = p2l(P2a, P1b, dira[:, None, :])
-    d21 = p2l(P1b, P1a, dira[:, :, None])
-    d22 = p2l(P2b, P1a, dira[:, :, None])
+    d11 = p2l(P1a, P1b, dir_b)
+    d12 = p2l(P2a, P1b, dir_b)
+    d21 = p2l(P1b, P1a, dir_a)
+    d22 = p2l(P2b, P1a, dir_a)
 
     cut = jnp.minimum(median_depth, med_scene_depth) if med_scene_depth > EPS \
         else median_depth

@@ -384,7 +384,7 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
     """
     img = np.asarray(image)
     if img.ndim == 3:
-        img = img @ np.array([0.114, 0.587, 0.299])  # BGR -> gray (OpenCV conv)
+        img = img @ np.array([0.299, 0.587, 0.114])  # RGB -> luma (PIL order)
     img = img.astype(np.float32)
 
     H0, W0 = img.shape

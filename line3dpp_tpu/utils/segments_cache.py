@@ -13,14 +13,21 @@ import os
 import numpy as np
 
 
-def _path(cache_dir: str, cam_id: int, shape, max_segments: int) -> str:
+def _path(cache_dir: str, cam_id: int, shape, max_segments: int,
+          max_width: int = -1) -> str:
     h, w = shape[0], shape[1]
+    # the detection width is part of the key (the reference embeds the
+    # processed image size in its cache filename, line3D.cc:296-309) —
+    # otherwise a -w run silently reuses detections from another resolution
+    wtag = "FULL" if max_width <= 0 or max_width >= w else str(max_width)
     return os.path.join(
-        cache_dir, f"segments_L3DTPU_{cam_id}_{w}x{h}_{max_segments}.npz")
+        cache_dir,
+        f"segments_L3DTPU_{cam_id}_{w}x{h}_W{wtag}_{max_segments}.npz")
 
 
-def load(cache_dir: str, cam_id: int, shape, max_segments: int) -> np.ndarray | None:
-    p = _path(cache_dir, cam_id, shape, max_segments)
+def load(cache_dir: str, cam_id: int, shape, max_segments: int,
+         max_width: int = -1) -> np.ndarray | None:
+    p = _path(cache_dir, cam_id, shape, max_segments, max_width)
     if not os.path.exists(p):
         return None
     try:
@@ -30,9 +37,9 @@ def load(cache_dir: str, cam_id: int, shape, max_segments: int) -> np.ndarray | 
 
 
 def store(cache_dir: str, cam_id: int, shape, max_segments: int,
-          segments: np.ndarray) -> None:
+          segments: np.ndarray, max_width: int = -1) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     np.savez_compressed(
-        _path(cache_dir, cam_id, shape, max_segments),
+        _path(cache_dir, cam_id, shape, max_segments, max_width),
         segments=np.asarray(segments, dtype=np.float64),
     )

@@ -30,8 +30,10 @@ def test_read_nvm(tmp_path):
     assert v0.worldpoints == [0, 1]
     assert views[1].worldpoints == [0]
     assert v0.distortion[0] == -0.05
-    # median depth of cam0: z of (0,0,10)->7 and (1,1,12)->9 => 8
-    assert v0.median_depth == pytest.approx(8.0)
+    # median depth of cam0: Euclidean distance to C=(1,2,3) of (0,0,10)
+    # -> sqrt(54) and of (1,1,12) -> sqrt(82); median = mean of the two
+    d = (np.sqrt(54) + np.sqrt(82)) / 2
+    assert v0.median_depth == pytest.approx(d)
 
 
 def test_read_colmap(tmp_path):
@@ -120,20 +122,37 @@ def test_read_openmvg(tmp_path):
     assert v.K[0, 0] == 900
     np.testing.assert_allclose(v.t, [-1.0, 0.0, 0.0])
     assert v.worldpoints == [11]
-    assert v.median_depth == pytest.approx(9.0)
+    # Euclidean distance of (0,0,9) to C=(1,0,0)
+    assert v.median_depth == pytest.approx(np.sqrt(82))
 
 
 def test_read_mavmap(tmp_path):
     data = tmp_path / "image-data-1.txt"
+    # full rows carry per-camera intrinsics (main_mavmap.cpp:176-193)
     data.write_text(
         "# header\n"
-        "img0, 0, 0, 0, 47.0, 15.0, 100, 0, 1, 2, 3\n"
+        "img0, 0, 0, 0, 47.0, 15.0, 100, 0, 1, 2, 3, 0, PINHOLE, "
+        "500, 510, 320, 240\n"
     )
-    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
-    views = sfm_io.read_mavmap(str(data), str(tmp_path), K)
+    views = sfm_io.read_mavmap(str(data), str(tmp_path))
     assert len(views) == 1
     np.testing.assert_allclose(views[0].R, np.eye(3), atol=1e-12)
     np.testing.assert_allclose(views[0].t, [-1, -2, -3], atol=1e-12)
+    assert views[0].K[0, 0] == 500 and views[0].K[1, 1] == 510
+
+    # non-PINHOLE model rejected (main_mavmap.cpp:188-193)
+    bad = tmp_path / "image-data-2.txt"
+    bad.write_text("img0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 0, OPENCV, "
+                   "500, 510, 320, 240\n")
+    with pytest.raises(ValueError):
+        sfm_io.read_mavmap(str(bad), str(tmp_path))
+
+    # truncated rows fall back to the K override
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    short = tmp_path / "image-data-3.txt"
+    short.write_text("img0, 0, 0, 0, 47.0, 15.0, 100, 0, 1, 2, 3\n")
+    views = sfm_io.read_mavmap(str(short), str(tmp_path), K)
+    assert views[0].K[0, 0] == 500
 
     from line3dpp_tpu.io.mavmap import sequential_neighbors
 
@@ -204,3 +223,47 @@ def test_read_colmap_binary(tmp_path):
     assert views[1].K[0, 0] == 520 and views[1].distortion[0] == 0.1
     assert views[0].worldpoints == [5] and views[1].worldpoints == [5]
     assert views[1].median_depth == pytest.approx(11.0)
+
+
+def test_read_pix4d(tmp_path):
+    # per-image record: name w h / K x3 / radial / tangential / C / R x3
+    # (main_pix4d.cpp:207-280)
+    p = tmp_path / "proj_calibrated_camera_parameters.txt"
+    R = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    C = np.array([1.0, 2.0, 3.0])
+    p.write_text(
+        "Pix4D camera calibration file\n"
+        "\n"
+        "img0.jpg 640 480\n"
+        "500 0 320\n"
+        "0 510 240\n"
+        "0 0 1\n"
+        "0.01 0.002 0.0003\n"
+        "0.0001 0.00002\n"
+        f"{C[0]} {C[1]} {C[2]}\n"
+        + "\n".join(" ".join(str(x) for x in row) for row in R) + "\n"
+    )
+    views = sfm_io.read_pix4d(str(tmp_path), "/imgs")
+    assert len(views) == 1
+    v = views[0]
+    assert v.K[0, 0] == 500 and v.K[1, 1] == 510
+    np.testing.assert_allclose(v.R, R)
+    np.testing.assert_allclose(v.t, -R @ C)       # main_pix4d.cpp:270
+    np.testing.assert_allclose(v.distortion, [0.01, 0.002, 0.0003,
+                                              0.0001, 0.00002])
+    assert v.width == 640 and v.height == 480
+
+
+def test_read_colmap_empty_observation_line(tmp_path):
+    (tmp_path / "cameras.txt").write_text("1 PINHOLE 640 480 500 510 320 240\n")
+    # image 7 has an EMPTY observations line (zero keypoints) — must not
+    # shift the parse of image 8
+    (tmp_path / "images.txt").write_text(
+        "7 1 0 0 0 0.1 0.2 0.3 1 a.jpg\n"
+        "\n"
+        "8 1 0 0 0 0 0 1 1 b.jpg\n"
+        "1 1 -1\n"
+    )
+    views = sfm_io.read_colmap(str(tmp_path), "/imgs")
+    assert [v.cam_id for v in views] == [7, 8]
+    assert views[1].image_path.endswith("b.jpg")
