@@ -123,7 +123,6 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     print("[L3D-TPU] [1] ADDING IMAGES")
-    width = -1
     for v in views:
         if not v.image_path or not os.path.exists(v.image_path):
             print(f"[L3D-TPU] warning: missing image {v.image_path}; skipped")
@@ -140,7 +139,6 @@ def main(argv=None):
         pipe.add_image(v.cam_id, cam, img,
                        worldpoints=v.worldpoints if has_worldpoints else None,
                        cache_dir=cache)
-        width = W
         print(f"[L3D-TPU]   view {v.cam_id}: "
               f"{len(pipe._views[v.cam_id].segments)} segments")
 
