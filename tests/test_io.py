@@ -267,3 +267,32 @@ def test_read_colmap_empty_observation_line(tmp_path):
     views = sfm_io.read_colmap(str(tmp_path), "/imgs")
     assert [v.cam_id for v in views] == [7, 8]
     assert views[1].image_path.endswith("b.jpg")
+
+
+def test_read_pix4d_tracks(tmp_path):
+    # 3 cameras along x, one 3D point at (0, 0, 5) observed by all; the
+    # tracks file (tp_pix4d format, main_pix4d.cpp:283-350) should yield
+    # worldpoints + Euclidean median depths after DLT triangulation
+    X = np.array([0.0, 0.0, 5.0])
+    K = np.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+    R = np.eye(3)
+    recs, obs_lines = [], []
+    for i in range(3):
+        C = np.array([0.5 * i, 0.0, 0.0])
+        t = -R @ C
+        x_cam = R @ X + t
+        uv = (K @ (x_cam / x_cam[2]))[:2]
+        recs.append(
+            f"img{i}.jpg 100 100\n100 0 50\n0 100 50\n0 0 1\n"
+            f"0 0 0\n0 0\n{C[0]} {C[1]} {C[2]}\n1 0 0\n0 1 0\n0 0 1\n")
+        obs_lines.append(f"img{i}\nfeatA {uv[0]} {uv[1]} 1.0\n")
+    (tmp_path / "proj_calibrated_camera_parameters.txt").write_text(
+        "header\n\n" + "".join(recs))
+    (tmp_path / "proj_tp_pix4d.txt").write_text("".join(obs_lines))
+
+    views = sfm_io.read_pix4d(str(tmp_path), "/imgs")
+    assert len(views) == 3
+    for i, v in enumerate(views):
+        assert v.worldpoints == [0]
+        expect = np.linalg.norm(X - np.array([0.5 * i, 0, 0]))
+        assert v.median_depth == pytest.approx(expect, rel=1e-3)
