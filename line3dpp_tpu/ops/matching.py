@@ -65,11 +65,10 @@ class PairMatches(NamedTuple):
     valid: jnp.ndarray      # (P, S, k) bool
 
 
-def _seg_line_quantities(segs: jnp.ndarray, mask: jnp.ndarray,
-                         RtKinv: jnp.ndarray, C: jnp.ndarray):
+def _seg_line_quantities(segs: jnp.ndarray, RtKinv: jnp.ndarray):
     """Per-segment precomputation: endpoint rays + segment plane normal.
 
-    segs: (S,4), RtKinv: (3,3), C: (3,) -> rays (S,3)x2, plane normal (S,3).
+    segs: (S,4), RtKinv: (3,3) -> rays (S,3)x2, plane normal (S,3).
     The plane normal spans the camera center and both endpoint rays
     (reference: line3D.cc:1182-1185).
     """
@@ -138,8 +137,8 @@ def match_pair(
 
     # triangulation depth *signs* (values recomputed post-top-k):
     # d = n.(C_other - C_own) / (n.ray)   (line3D.cc:1168-1193)
-    r_p1, r_p2, n_src = _seg_line_quantities(src_segs, src_mask, src_RtKinv, src_C)
-    r_q1, r_q2, n_tgt = _seg_line_quantities(tgt_segs, tgt_mask, tgt_RtKinv, tgt_C)
+    r_p1, r_p2, n_src = _seg_line_quantities(src_segs, src_RtKinv)
+    r_q1, r_q2, n_tgt = _seg_line_quantities(tgt_segs, tgt_RtKinv)
 
     num_src = _mm(n_tgt, tgt_C - src_C)    # (S_tgt,)
     den_p1 = _mm(r_p1, n_tgt.T)              # (S_src, S_tgt)  MXU
