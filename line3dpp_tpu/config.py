@@ -75,8 +75,12 @@ class Config:
 
     @property
     def knn_effective(self) -> int:
-        """kNN slots per (segment, pair); kNN<=0 means keep all (capped)."""
-        return self.knn if self.knn > 0 else 32
+        """kNN slots per (segment, pair).  kNN <= 0 keeps *all* valid
+        matches, as the reference does (README.md:246, line3D.cc:973-988):
+        every target segment gets a slot, so top-k over S candidates with
+        k = S drops nothing.  Large scenes should combine this with
+        ``view_block`` (the pipeline auto-blocks and warns otherwise)."""
+        return self.knn if self.knn > 0 else self.num_segments
 
     @property
     def num_match_slots(self) -> int:

@@ -85,6 +85,14 @@ class Line3D:
         from ..ops import lsd as lsd_ops
         from ..utils import segments_cache
 
+        # reject too-small images, as the reference does (line3D.cc:119-126)
+        width = image.shape[1] if image.ndim >= 2 else 0
+        if width < self.config.min_image_width:
+            print(f"[L3D-TPU] warning: image {cam_id} too small "
+                  f"({width} < {self.config.min_image_width} px wide) -> "
+                  f"skipped", flush=True)
+            return
+
         segs = None
         if cache_dir and self.config.load_segments:
             segs = segments_cache.load(cache_dir, cam_id, image.shape,
@@ -184,13 +192,25 @@ class Line3D:
         use_pallas = (cfg.use_pallas_matching
                       and jax.default_backend() == "tpu")
 
-        if cfg.view_block > 0 and V > cfg.view_block:
+        # all-matches mode (knn <= 0) or very large scenes can exceed device
+        # memory on the fused path ([V, S, N*k] tensors); fall back to the
+        # blocked path with a block size that keeps ~O(1 GB) per array
+        view_block = cfg.view_block
+        fused_bytes = V * S * N * k * 4
+        if view_block <= 0 and fused_bytes > (2 << 30):
+            view_block = max(1, (2 << 30) // max(S * N * k * 4, 1))
+            print(
+                f"[L3D-TPU] match tensors would be {fused_bytes / (1 << 30):.1f}"
+                f" GiB per array (knn={cfg.knn}); auto-blocking source views"
+                f" at view_block={view_block}", flush=True)
+
+        if view_block > 0 and V > view_block:
             # large-scene path: process source views in blocks so device
             # memory stays O(block * S * M) regardless of V
             self._match_images_blocked(
                 cam_ids, cams, translation, cb, segs, mask,
                 neighbor_ids, pair_valid, F, k, use_pallas,
-                med_scene_depth, fixed_reg)
+                med_scene_depth, fixed_reg, view_block)
             return
 
         out = forward_step(
@@ -233,7 +253,8 @@ class Line3D:
 
     def _match_images_blocked(self, cam_ids, cams, translation, cb, segs,
                               mask, neighbor_ids, pair_valid, F, k,
-                              use_pallas, med_scene_depth, fixed_reg):
+                              use_pallas, med_scene_depth, fixed_reg,
+                              view_block=None):
         """Blocked matching for scenes too large for the fused step: source
         views run through ``_match_score_filter`` in fixed-size blocks
         (device memory O(block*S*M)), kept matches are compacted to a flat
@@ -249,7 +270,7 @@ class Line3D:
         V, S = mask.shape
         N = neighbor_ids.shape[1]
         M = N * k
-        Vb = cfg.view_block
+        Vb = cfg.view_block if view_block is None else view_block
 
         d_segs = jnp.asarray(segs)
         d_mask = jnp.asarray(mask)

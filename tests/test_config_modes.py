@@ -67,10 +67,30 @@ def test_rdd_enabled_pipeline(rng):
 
 
 def test_knn_all_matches_mode(rng):
-    # kNN=-1 keeps all matches up to the capacity cap (reference README
-    # flag -k -1, commons.h:53)
+    # kNN=-1 keeps ALL valid matches — every target segment gets a slot,
+    # exactly as the reference (README.md:246, line3D.cc:973-988)
     cams, P, Q = _scene(rng)
     cfg = l3d.Config(num_neighbors=4, max_line_segments=64, optimize=False,
                      knn=-1)
-    assert cfg.knn_effective == 32
+    assert cfg.knn_effective == cfg.num_segments
     _check(_drive(cfg, cams, P, Q), P, Q, 8)
+
+
+def test_knn_all_matches_keeps_every_valid_match(rng):
+    """With knn<=0 (k = S slots) the matcher must contain every
+    numpy-reference valid match, not a truncated top-k
+    (reference: line3D.cc:973-988 pushes every candidate when kNN<=0)."""
+    from tests.test_matching import make_scene, np_match_pair, run_jax_match
+
+    cam1, cam2, segs1, segs2 = make_scene(rng)
+    S = 64
+    ref = np_match_pair(cam1, cam2, segs1, segs2, 0.25, -1)
+    res = run_jax_match(cam1, cam2, segs1, segs2, knn=S, S=S)
+
+    tgt = np.asarray(res.tgt_seg)
+    valid = np.asarray(res.valid)
+    got = {(r, int(tgt[r, j])) for r in range(S) for j in range(S)
+           if valid[r, j]}
+    want = {(r, c) for r, cand in ref.items() for (_, c, *rest) in cand}
+    assert want, "reference matcher found no matches — bad fixture"
+    assert want == got

@@ -43,3 +43,14 @@ def test_duplicate_segments_no_crash(rng):
     assert len(lines) >= 6
     for l in lines:
         assert np.isfinite(l.segments3d).all()
+
+
+def test_min_image_width_rejected(capsys):
+    """Images narrower than min_image_width are skipped with a warning
+    (reference: line3D.cc:119-126)."""
+    pipe = l3d.Line3D(l3d.Config())
+    cam = l3d.Camera(K, np.eye(3), np.zeros(3), 400, 300)
+    img = np.zeros((300, 400), np.uint8)
+    pipe.add_image(0, cam, img)
+    assert 0 not in pipe._views
+    assert "too small" in capsys.readouterr().out
