@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-f", "--pinhole", default=None,
                     help="mavmap: FX,FY,CX,CY")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--min_image_width", type=int, default=800,
+                    help="reject images narrower than this (line3D.cc:119)")
     return ap
 
 
@@ -114,6 +116,7 @@ def main(argv=None):
         perform_rdd=args.diffusion, load_segments=bool(args.load_segments),
         collinearity_t=args.collinearity, optimize=args.optimize,
         const_regularization_depth=args.const_reg_depth,
+        min_image_width=args.min_image_width,
     )
     pipe = l3d.Line3D(cfg)
 
@@ -139,8 +142,9 @@ def main(argv=None):
         pipe.add_image(v.cam_id, cam, img,
                        worldpoints=v.worldpoints if has_worldpoints else None,
                        cache_dir=cache)
-        print(f"[L3D-TPU]   view {v.cam_id}: "
-              f"{len(pipe._views[v.cam_id].segments)} segments")
+        if v.cam_id in pipe._views:
+            print(f"[L3D-TPU]   view {v.cam_id}: "
+                  f"{len(pipe._views[v.cam_id].segments)} segments")
 
     if args.format == "mavmap":
         for cam_id, nbrs in sequential_neighbors(

@@ -42,6 +42,7 @@ DENSITY_TH = 0.7
 LOG_EPS = 0.0
 
 _INVALID = jnp.int32(2**30)
+_BIG_ANGLE = 100.0
 
 
 def _gaussian_kernel(sigma: float) -> np.ndarray:
@@ -129,16 +130,47 @@ def _connected_components(angle, used, tol, n_iters: int = 24):
     return jax.lax.fori_loop(0, n_iters, body, lab)
 
 
+def _tile_for(h2: int, w2: int) -> tuple:
+    """CC tile for an image: the largest VMEM tile (up to 256 x 1024) that
+    keeps row/column padding waste low; 8/128-aligned for small inputs."""
+    def pick(dim, cands, align):
+        if dim <= cands[-1]:
+            return -(-dim // align) * align
+        # biggest candidate whose padding waste is < 8%
+        for c in cands:
+            if (-(-dim // c) * c) - dim < 0.08 * dim:
+                return c
+        return cands[-1]
+
+    return (pick(h2, (256, 128, 64, 32, 16, 8), 8),
+            pick(w2, (1024, 512, 256, 128), 128))
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("H", "W", "n_rounds",
-                                              "cc_iters", "refine_iters"))
+                                              "cc_iters", "refine_iters",
+                                              "use_pallas_cc", "nc_scale"))
 def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
-              cc_iters: int = 16, refine_iters: int = 2):
+              cc_iters: int = 16, refine_iters: int = 2,
+              use_pallas_cc: bool = False, nc_scale: float = 0.55):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
-    # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion) at 28%
-    # less device time (10.6 s vs 14.4 s per 3072x2304 image)
+    # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
     in [0, 255].  Returns per-pixel-slot candidate segments + validity —
-    compacted on the host."""
+    compacted on the host.
+
+    TPU-first layout (round-2 rework): after the dense gradient field and
+    connected components, everything runs over a **compacted active-pixel
+    list sorted by component label** — rectangle fits become sorted-segment
+    reductions into component-table slots (262k) instead of 4.5M-wide
+    scatter/gathers, which were the round-1 bottleneck (7.2 s of the
+    10.6 s/image).  CC itself uses the tile-local Pallas kernel + border
+    merge (ops/lsd_cc.py) on TPU, hook+jump XLA elsewhere."""
+    from . import lsd_cc
+
     # 1. Gaussian subsample to SCALE (lsd.cpp `gaussian_sampler`)
     sigma = SIGMA_SCALE / SCALE
     kern = jnp.asarray(_gaussian_kernel(sigma))
@@ -159,41 +191,106 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     # last row/col have no valid 2x2 gradient
     used = used.at[h2 - 1, :].set(False).at[:, w2 - 1].set(False)
 
+    # pad to CC-tile multiples; padded pixels are inactive.  All pixel
+    # coordinates below are padded-grid flat indices (padding sits at the
+    # right/bottom, so x/y coordinates are unchanged).
+    th, tw = _tile_for(h2, w2)
+    hp, wp = _round_up(h2, th), _round_up(w2, tw)
+    angle = jnp.pad(angle, ((0, hp - h2), (0, wp - w2)),
+                    constant_values=_BIG_ANGLE)
+    mag = jnp.pad(mag, ((0, hp - h2), (0, wp - w2)))
+    used = jnp.pad(used, ((0, hp - h2), (0, wp - w2)))
+
     # 3..5: multi-round extraction.  Each round runs connected components on
     # the still-active pixels, fits/refines rectangles, validates by
     # density + NFA, then removes accepted rectangles' pixels — the parallel
     # analog of LSD marking region pixels USED so remaining structures (e.g.
     # a parallel line merged into the same gradient blob) can form their own
     # regions in the next round (lsd.cpp:2082-2091).
-    HW = h2 * w2
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h2, w2), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h2, w2), 1).reshape(-1)
-    mag_flat = mag.reshape(-1)
+    HWp = hp * wp
+    # caps scale with the real (unpadded) pixel count; padding is inactive.
+    # c_cap 128k suffices because sub-5-pixel runs never get ranked (below).
+    NC = _round_up(int(nc_scale * h2 * w2) + 1024, 1024)  # active-pixel cap
+    c_cap = min(1 << 17, _round_up(HWp, 128))             # component cap
     big = jnp.float32(1e9)
-    prec_f = jnp.float32(prec)
+    int_max = jnp.int32(2**31 - 1)
 
-    def one_round(active_flat, link_tol):
-        lab = _connected_components(angle, used & active_flat.reshape(h2, w2),
-                                    link_tol, n_iters=cc_iters)
-        flat_lab = jnp.where(active_flat, lab.reshape(-1), 0)
-        uflat = active_flat & used.reshape(-1)
+    # compact the (round-invariant) used-pixel set once
+    flat_used = used.reshape(-1)
+    used_count = jnp.sum(flat_used.astype(jnp.int32))
+    idx_used = jnp.nonzero(flat_used, size=NC, fill_value=HWp)[0]
+    cvalid = idx_used < HWp
+    safe_idx = jnp.minimum(idx_used, HWp - 1)
+    xs_c = (idx_used % wp).astype(jnp.float32)
+    ys_c = (idx_used // wp).astype(jnp.float32)
+    mag_c = jnp.where(cvalid, mag.reshape(-1)[safe_idx], 0.0)
 
-        def fit(pix):
-            """Weighted rectangle fit of every component over members pix."""
-            wgt = jnp.where(pix, mag_flat, 0.0)
-            seg_sum = lambda v: jax.ops.segment_sum(v, flat_lab, HW)
-            sw = seg_sum(wgt)
+    p_nfa = ANG_TH / 180.0
+    log_ntests = 2.5 * math.log10(float(h2 * w2))       # (HW)^{5/2} tests
+
+    def one_round(active_d, link_tol):
+        # --- connected components on the dense grid ---
+        if use_pallas_cc:
+            lab_d = lsd_cc.cc_tiles(angle, active_d, link_tol, tile=(th, tw))
+            T = lsd_cc.merge_tile_labels(lab_d, angle, active_d, link_tol,
+                                         tile=(th, tw))
+            lab_c = lab_d.reshape(-1)[safe_idx]
+            lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max,
+                              T[jnp.clip(lab_c, 0, HWp - 1)])
+        else:
+            lab_d = _connected_components(angle, active_d, link_tol,
+                                          n_iters=cc_iters)
+            lab_c = lab_d.reshape(-1)[safe_idx]
+            lab_c = jnp.where(lab_c >= _INVALID, int_max, lab_c)
+
+        active_c = cvalid & active_d.reshape(-1)[safe_idx]
+        part = active_c & (lab_c < int_max)
+        key = jnp.where(part, lab_c, int_max)
+
+        # --- sort active pixels by component label; payloads ride along ---
+        key_s, xs_s, ys_s, mag_s, idx_s = jax.lax.sort(
+            (key, xs_c, ys_c, mag_c, idx_used), num_keys=1)
+        part_s = key_s < int_max
+        new_run = part_s & jnp.concatenate(
+            [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+        is_last = part_s & jnp.concatenate(
+            [key_s[1:] != key_s[:-1], jnp.ones((1,), bool)])
+
+        # runs shorter than 5 pixels can never pass the npix >= 5 acceptance
+        # (lsd.cpp region size test) — drop them from component ranking so
+        # noise singletons don't exhaust the c_cap table (a 3072x2304 image
+        # has ~500k raw components but only ~tens of k with >= 5 pixels)
+        pos = jnp.arange(NC, dtype=jnp.int32)
+        start_pos = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new_run, pos, -1))
+        end_pos = jnp.flip(jax.lax.associative_scan(
+            jnp.minimum, jnp.flip(jnp.where(is_last, pos, NC))))
+        big_run = part_s & (end_pos - start_pos + 1 >= 5)
+
+        new_run = new_run & big_run
+        dlab = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        ncomp = jnp.max(jnp.where(big_run, dlab, -1)) + 1
+        # component slot per pixel; short runs, overflow and
+        # non-participants all route to the dump slot c_cap
+        slot = jnp.where(big_run & (dlab < c_cap), dlab, c_cap)
+        comp_exists = (jnp.arange(c_cap) < jnp.minimum(ncomp, c_cap))
+
+        # dump-slot entries are interspersed, so ids are NOT sorted
+        seg_sum = lambda v: jax.ops.segment_sum(v, slot, c_cap + 1)[:c_cap]
+
+        def expand(t, pad):
+            # per-pixel value from a per-component table (monotone gather)
+            return jnp.concatenate([t, jnp.full((1,), pad, t.dtype)])[slot]
+
+        def _theta_from_moments(sw, swx, swy, sxx, syy, sxy, npix):
             swz = jnp.maximum(sw, 1e-12)
-            cx = seg_sum(wgt * xs) / swz
-            cy = seg_sum(wgt * ys) / swz
-            ixx = seg_sum(wgt * xs * xs) / swz - cx * cx
-            iyy = seg_sum(wgt * ys * ys) / swz - cy * cy
-            ixy = seg_sum(wgt * xs * ys) / swz - cx * cy
-            npix = seg_sum(jnp.where(pix, 1.0, 0.0))
-
-            # rectangle main direction = max-variance eigenvector of the
-            # weighted scatter matrix (equivalent to lsd.cpp `get_theta`'s
-            # smallest-inertia axis; inertia vs covariance swap x/y)
+            cx = swx / swz
+            cy = swy / swz
+            ixx = sxx / swz - cx * cx
+            iyy = syy / swz - cy * cy
+            ixy = sxy / swz - cx * cy
+            # main direction = max-variance eigenvector of the weighted
+            # scatter matrix (lsd.cpp `get_theta`)
             diff = ixx - iyy
             disc = jnp.sqrt(diff * diff + 4.0 * ixy * ixy)
             lmax_eig = 0.5 * (ixx + iyy + disc)
@@ -202,19 +299,9 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 jnp.arctan2(lmax_eig - ixx, ixy),
                 jnp.arctan2(ixy, lmax_eig - iyy),
             )
+            return cx, cy, theta
 
-            ct = jnp.take(jnp.cos(theta), flat_lab)
-            st = jnp.take(jnp.sin(theta), flat_lab)
-            dxp = xs - jnp.take(cx, flat_lab)
-            dyp = ys - jnp.take(cy, flat_lab)
-            l_proj = dxp * ct + dyp * st
-            w_proj = -dxp * st + dyp * ct
-            seg_min = lambda v: jax.ops.segment_min(
-                jnp.where(pix, v, big), flat_lab, HW)
-            seg_max = lambda v: jax.ops.segment_max(
-                jnp.where(pix, v, -big), flat_lab, HW)
-            lmin, lmax = seg_min(l_proj), seg_max(l_proj)
-            wmin, wmax = seg_min(w_proj), seg_max(w_proj)
+        def _finish_fit(cx, cy, theta, npix, lmin, lmax, wmin, wmax, extra):
             length = lmax - lmin
             width = jnp.maximum(wmax - wmin, 1.0)
             area = jnp.maximum(length, 1.0) * width
@@ -222,52 +309,106 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
             return dict(cx=cx, cy=cy, theta=theta, npix=npix,
                         lmin=lmin, lmax=lmax, wmin=wmin, wmax=wmax,
                         length=length, width=width, density=density,
-                        w_proj=w_proj)
+                        **extra)
+
+        if use_pallas_cc:
+            # --- Pallas fit kernels (ops/lsd_fit.py): one-hot MXU
+            # reductions/expansions over the sorted label windows ---
+            from . import lsd_fit
+
+            def _tables(ct, st, cx, cy, gate):
+                t = jnp.zeros((8, c_cap + lsd_fit.WIN), jnp.float32)
+                return (t.at[0, :c_cap].set(ct).at[1, :c_cap].set(st)
+                         .at[2, :c_cap].set(cx).at[3, :c_cap].set(cy)
+                         .at[4, :c_cap].set(gate))
+
+            def fit(pix_f):
+                mom = lsd_fit.moments(slot, xs_s, ys_s, mag_s, pix_f, c_cap)
+                cx, cy, theta = _theta_from_moments(*(mom[i]
+                                                      for i in range(7)))
+                npix = mom[6]
+                tables = _tables(jnp.cos(theta), jnp.sin(theta), cx, cy,
+                                 jnp.full((c_cap,), big))
+                ext, _ = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables,
+                                         jnp.bool_(True), c_cap)
+                return _finish_fit(cx, cy, theta, npix,
+                                   ext[0], -ext[2], ext[1], -ext[3],
+                                   dict(tables=tables))
+
+            def gated_pix(f, gate_vec, pix_f, dump_keep):
+                tables = f["tables"].at[4, :c_cap].set(gate_vec)
+                _, newpix = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables,
+                                            jnp.bool_(dump_keep), c_cap)
+                return newpix
+        else:
+            # --- XLA fallback: segment reductions + monotone gathers ---
+            def fit(pix_f):
+                wgt = mag_s * pix_f
+                mom = [seg_sum(wgt), seg_sum(wgt * xs_s), seg_sum(wgt * ys_s),
+                       seg_sum(wgt * xs_s * xs_s), seg_sum(wgt * ys_s * ys_s),
+                       seg_sum(wgt * xs_s * ys_s), seg_sum(pix_f)]
+                cx, cy, theta = _theta_from_moments(*mom)
+                npix = mom[6]
+                ct, st = jnp.cos(theta), jnp.sin(theta)
+
+                dxp = xs_s - expand(cx, 0.0)
+                dyp = ys_s - expand(cy, 0.0)
+                ct_p, st_p = expand(ct, 1.0), expand(st, 0.0)
+                l_proj = dxp * ct_p + dyp * st_p
+                w_proj = -dxp * st_p + dyp * ct_p
+
+                inpix = pix_f != 0.0
+                seg_min = lambda v: jax.ops.segment_min(
+                    jnp.where(inpix, v, big), slot, c_cap + 1)[:c_cap]
+                seg_max = lambda v: jax.ops.segment_max(
+                    jnp.where(inpix, v, -big), slot, c_cap + 1)[:c_cap]
+                return _finish_fit(cx, cy, theta, npix,
+                                   seg_min(l_proj), seg_max(l_proj),
+                                   seg_min(w_proj), seg_max(w_proj),
+                                   dict(w_proj=w_proj))
+
+            def gated_pix(f, gate_vec, pix_f, dump_keep):
+                gate_p = expand(gate_vec, big if dump_keep else -1.0)
+                keep = jnp.abs(f["w_proj"]) <= gate_p
+                return pix_f * keep.astype(jnp.float32)
 
         # density refinement (lsd.cpp `refine`/`reduce_region_radius`):
-        # failing components shrink toward their fitted axis and refit —
-        # the parallel analog of LSD's iterative radius reduction.
-        pix = uflat
+        # failing components shrink toward their fitted axis and refit
+        pix = part_s.astype(jnp.float32)
         f = fit(pix)
         for _ in range(refine_iters):
-            fail = f["density"] < DENSITY_TH
             half_w = jnp.maximum(
-                jnp.maximum(jnp.abs(f["wmin"]), jnp.abs(f["wmax"])) * 0.6, 0.75)
-            keep = jnp.abs(f["w_proj"]) <= jnp.take(half_w, flat_lab)
-            pix = pix & (keep | ~jnp.take(fail, flat_lab))
+                jnp.maximum(jnp.abs(f["wmin"]), jnp.abs(f["wmax"])) * 0.6,
+                0.75)
+            # encode (fail ? half_w : keep-everything) in one table
+            hw_gate = jnp.where(f["density"] < DENSITY_TH, half_w, big)
+            pix = gated_pix(f, hw_gate, pix, True)
             f = fit(pix)
 
         # NFA a-contrario validation (lsd.cpp `nfa`): binomial tail
-        # P(X >= k | n, p), p = ANG_TH/180, n = rectangle area, k = aligned.
-        p = ANG_TH / 180.0
-        n = jnp.maximum(f["length"], 1.0) * f["width"]
-        n = jnp.maximum(n, 1.0)
+        # P(X >= k | n, p), p = ANG_TH/180, n = rectangle area, k = aligned
+        n = jnp.maximum(jnp.maximum(f["length"], 1.0) * f["width"], 1.0)
         k = jnp.minimum(f["npix"], n)
         tail = jax.scipy.special.betainc(
-            jnp.maximum(k, 1.0), jnp.maximum(n - k + 1.0, 1.0), p)
-        log_ntests = 2.5 * jnp.log10(jnp.float32(HW))   # (HW)^{5/2} tests
+            jnp.maximum(k, 1.0), jnp.maximum(n - k + 1.0, 1.0), p_nfa)
         log_nfa = -(log_ntests + jnp.log10(jnp.maximum(tail, 1e-300)))
 
-        # a component's stats live at its root pixel slot only
-        roots = jnp.arange(HW, dtype=jnp.int32)
-        is_root = jax.ops.segment_min(
-            jnp.where(uflat, jnp.arange(HW, dtype=jnp.int32), _INVALID),
-            flat_lab, HW) == roots
-
         ok = (
-            is_root
+            comp_exists
             & (f["npix"] >= 5.0)
             & (f["density"] >= DENSITY_TH)
             & (log_nfa > LOG_EPS)
         )
 
-        # remove accepted rectangles' pixels for the next round: any active
-        # pixel within the accepted component's rectangle width band
-        # (root slots carry ok; members read the value at their root label)
-        acc_of_label = jnp.take(ok, flat_lab)
+        # remove accepted rectangles' pixels for the next round: any
+        # participating pixel within the accepted rectangle's width band
         half_final = jnp.maximum(jnp.abs(f["wmin"]), jnp.abs(f["wmax"])) + 0.75
-        in_rect = jnp.abs(f["w_proj"]) <= jnp.take(half_final, flat_lab)
-        consumed = uflat & acc_of_label & in_rect
+        hf_gate = jnp.where(ok, half_final, -1.0)
+        consumed_s = gated_pix(f, hf_gate, part_s.astype(jnp.float32),
+                               False) != 0.0
+        consumed_d = jnp.zeros((HWp,), bool).at[
+            jnp.where(consumed_s, idx_s, HWp)].set(True, mode="drop")
+        active_next = active_d & ~consumed_d.reshape(hp, wp)
 
         # endpoints in subsampled coords -> original coords
         # (/SCALE upscale as lsd.cpp:2103-2108)
@@ -278,24 +419,25 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         ey2 = (cy + f["lmax"] * jnp.sin(theta)) / SCALE
         segs = jnp.stack([ex1, ey1, ex2, ey2], axis=-1)
         diag = dict(npix=f["npix"], density=f["density"], log_nfa=log_nfa,
-                    is_root=is_root, length=f["length"], width=f["width"])
-        return segs, ok, consumed, diag
+                    length=f["length"], width=f["width"], ncomp=ncomp)
+        return segs, ok, active_next, diag
 
     # round 1 links at the full 22.5° tolerance; later rounds re-cluster the
     # leftover pixels with tighter tolerances so smoothly-curving chains and
     # corner blobs (where the pairwise-link formulation over-merges relative
     # to LSD's region-angle test) split into straight pieces.
-    active = jnp.ones(HW, dtype=bool)
+    prec_f = jnp.float32(prec)
+    active_d = used
     all_segs, all_ok = [], []
     diag = None
     for link_tol in (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]:
-        segs_r, ok_r, consumed, diag = one_round(active, link_tol)
+        segs_r, ok_r, active_d, diag = one_round(active_d, link_tol)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
-        active = active & ~consumed
 
     segs = jnp.concatenate(all_segs, axis=0)
     ok = jnp.concatenate(all_ok, axis=0)
+    diag = dict(diag, used_count=used_count, nc_cap=NC, c_cap=c_cap)
     return segs, ok, diag
 
 
@@ -356,22 +498,35 @@ def merge_collinear(segs: np.ndarray, angle_tol_deg: float = 2.0,
                             parent[rb] = ra
 
     roots = np.array([find(i) for i in range(len(segs))])
-    out = []
-    for r in np.unique(roots):
-        member = np.nonzero(roots == r)[0]
-        if len(member) == 1:
-            out.append(segs[member[0]])
-            continue
-        # refit: extreme endpoints along the length-weighted mean direction
-        th = np.arctan2(
-            np.sum(np.sin(2 * theta[member]) * L[member]),
-            np.sum(np.cos(2 * theta[member]) * L[member])) / 2.0
-        ux, uy = np.cos(th), np.sin(th)
-        pts = np.concatenate([segs[member, 0:2], segs[member, 2:4]], axis=0)
-        t = pts[:, 0] * ux + pts[:, 1] * uy
-        i_min, i_max = np.argmin(t), np.argmax(t)
-        out.append(np.concatenate([pts[i_min], pts[i_max]]))
-    return np.stack(out)
+
+    # vectorized refit: extreme endpoints along each chain's
+    # length-weighted mean direction (grouped via one sort + reduceat;
+    # the old per-root nonzero scan was O(n^2) and dominated host time)
+    order = np.argsort(roots, kind="stable")
+    r_s = roots[order]
+    starts = np.r_[0, np.flatnonzero(r_s[1:] != r_s[:-1]) + 1]
+    sizes = np.diff(np.r_[starts, len(segs)])
+    gid = np.repeat(np.arange(len(starts)), sizes)
+
+    s2 = np.add.reduceat(np.sin(2 * theta[order]) * L[order], starts)
+    c2 = np.add.reduceat(np.cos(2 * theta[order]) * L[order], starts)
+    th_g = 0.5 * np.arctan2(s2, c2)
+    ux, uy = np.cos(th_g), np.sin(th_g)
+
+    # both endpoints of every member, laid out contiguously per group
+    pts = segs[order].reshape(-1, 2, 2).reshape(-1, 2)      # (2n, 2) xy
+    gid2 = np.repeat(gid, 2)
+    t = pts[:, 0] * ux[gid2] + pts[:, 1] * uy[gid2]
+    po = np.lexsort((t, gid2))
+    gstarts2 = 2 * starts
+    gends2 = np.r_[gstarts2[1:], 2 * len(segs)] - 1
+    pmin = pts[po[gstarts2]]
+    pmax = pts[po[gends2]]
+
+    single = sizes == 1
+    out = np.concatenate([pmin, pmax], axis=1)
+    out[single] = segs[order[starts[single]]]
+    return out
 
 
 def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
@@ -395,7 +550,20 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
         img = np.asarray(_bilinear_resize(jnp.asarray(img), nh, nw))
 
     H, W = img.shape
-    segs, ok = _detect_compact(jnp.asarray(img), H, W)
+    use_pallas_cc = jax.default_backend() == "tpu"
+    segs, ok, n_ok, used_count, nc_cap = _detect_compact(
+        jnp.asarray(img), H, W, use_pallas_cc)
+    if int(used_count) > nc_cap:
+        # active-pixel cap overflow (extremely textured image): re-run with
+        # compaction disabled rather than silently dropping pixels
+        print(f"[L3D-TPU] LSD: {int(used_count)} active pixels exceed the "
+              f"{nc_cap} compaction cap; re-running uncompacted", flush=True)
+        segs, ok, n_ok, used_count, _ = _detect_compact(
+            jnp.asarray(img), H, W, use_pallas_cc, nc_scale=1.0)
+    if int(n_ok) > _MAX_RAW_SEGMENTS:
+        print(f"[L3D-TPU] warning: {int(n_ok)} raw segments exceed the "
+              f"{_MAX_RAW_SEGMENTS} transfer cap; weakest are dropped",
+              flush=True)
     segs = np.asarray(segs)[np.asarray(ok)].astype(np.float64)
     segs = merge_collinear(segs)
     return segs * ds
@@ -404,12 +572,16 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
 _MAX_RAW_SEGMENTS = 32768
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W"))
-def _detect_compact(img: jnp.ndarray, H: int, W: int):
+@functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
+                                              "nc_scale"))
+def _detect_compact(img: jnp.ndarray, H: int, W: int,
+                    use_pallas_cc: bool = False, nc_scale: float = 0.55):
     """Run the core and compact accepted segments ON DEVICE — the raw
-    per-pixel-slot outputs are ~300 MB per image and must never cross the
-    host interconnect."""
-    segs, ok, _ = _lsd_core(img, H, W)
+    per-component-slot outputs are ~10 MB per image and must never cross
+    the host interconnect uncompacted."""
+    segs, ok, diag = _lsd_core(img, H, W, use_pallas_cc=use_pallas_cc,
+                               nc_scale=nc_scale)
     idx = jnp.nonzero(ok, size=_MAX_RAW_SEGMENTS, fill_value=-1)[0]
     valid = idx >= 0
-    return segs[jnp.maximum(idx, 0)], valid
+    return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),
+            diag["used_count"], diag["nc_cap"])

@@ -1,0 +1,233 @@
+"""Connected components for the LSD detector — Pallas TPU fast path.
+
+The detector's region growing is connected components over the
+aligned-8-neighbor graph (see ops/lsd.py; reference: the greedy region
+grow lsd.cpp:1704-1754 reformulated as label propagation).  The pure-XLA
+formulation (``lsd._connected_components``) alternates neighbor-min hooking
+with pointer jumping; the pointer jumps are 4.5M-element random gathers
+over an 18 MB table (~37 ms each on a v5e through XLA) and dominate
+detection time.
+
+This module replaces them with a **two-level scheme**:
+
+1. ``_cc_tile_kernel`` — a Pallas kernel that runs min-label propagation to
+   convergence *within* (256, 1024) tiles held in VMEM.  In-VMEM sweeps are
+   ~5 us each, so even the worst-case tile (a diagonal line needing ~1.3k
+   sweeps) costs ~7 ms, and an early-exit check every 8 sweeps makes the
+   typical tile far cheaper.  No HBM traffic after the tile loads.
+2. ``merge_tile_labels`` — XLA: aligned links across tile borders form a
+   small graph (~100k nodes) resolved by hook + pointer-jump iterations on
+   compacted ids; returns a dense old-root -> new-root map applied lazily
+   (the fit stage reads labels only at compacted active pixels).
+
+Labels are flat pixel indices of the component's minimum pixel (identical
+semantics to the XLA path); unused pixels get ``INVALID``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INVALID = 2**30            # python ints/floats stay literals inside kernels
+_BIG_ANGLE = 100.0
+
+TILE_H = 256          # default tile; tests use smaller tiles
+TILE_W = 1024
+
+_NEIGHBORS = ((0, 1), (0, -1), (1, 0), (-1, 0),
+              (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def _angle_diff(a, b):
+    d = jnp.abs(a - b)
+    d = jnp.where(d > 2.0 * jnp.pi, d - 2.0 * jnp.pi, d)
+    return jnp.where(d > jnp.pi, 2.0 * jnp.pi - d, d)
+
+
+def _shift_tile(x, dy: int, dx: int, fill):
+    """out[y, x] = x[y+dy, x+dx] within the tile, `fill` outside."""
+    th, tw = x.shape
+    out = x
+    if dy:
+        out = pltpu.roll(out, (-dy) % th, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        edge = rows == (th - 1 if dy == 1 else 0)
+        out = jnp.where(edge, fill, out)
+    if dx:
+        out = pltpu.roll(out, (-dx) % tw, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        edge = cols == (tw - 1 if dx == 1 else 0)
+        out = jnp.where(edge, fill, out)
+    return out
+
+
+def _cc_tile_kernel(tol_ref, angle_ref, act_ref, lab_ref, *, wp: int,
+                    tile_h: int, tile_w: int,
+                    max_iters: int, check_every: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tol = tol_ref[0]
+
+    ang = angle_ref[:]
+    act = act_ref[:] != 0
+
+    # aligned-neighbor links, packed as bits of one int32 plane
+    bits = jnp.zeros(ang.shape, jnp.int32)
+    for d, (dy, dx) in enumerate(_NEIGHBORS):
+        n_ang = _shift_tile(ang, dy, dx, _BIG_ANGLE)
+        n_act = _shift_tile(act, dy, dx, False)
+        aligned = act & n_act & (_angle_diff(ang, n_ang) <= tol)
+        bits = bits | (aligned.astype(jnp.int32) << d)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 0) + i * tile_h
+    xx = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 1) + j * tile_w
+    lab0 = jnp.where(act, yy * wp + xx, INVALID)
+
+    def sweep(lab):
+        best = lab
+        for d, (dy, dx) in enumerate(_NEIGHBORS):
+            n_lab = _shift_tile(lab, dy, dx, INVALID)
+            linked = (bits >> d) & 1
+            best = jnp.minimum(best, jnp.where(linked == 1, n_lab, INVALID))
+        return best
+
+    def cond(carry):
+        _, it, changed = carry
+        return jnp.logical_and(it < max_iters, changed)
+
+    def body(carry):
+        lab, it, _ = carry
+        new = lab
+        for _ in range(check_every):
+            new = sweep(new)
+        return new, it + check_every, jnp.any(new != lab)
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab0, jnp.int32(0), jnp.bool_(True)))
+    lab_ref[:] = lab
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "max_iters",
+                                              "check_every", "interpret"))
+def cc_tiles(angle: jnp.ndarray, active: jnp.ndarray, tol: jnp.ndarray,
+             tile: tuple = (TILE_H, TILE_W),
+             max_iters: int = 2048, check_every: int = 8,
+             interpret: bool = False):
+    """Tile-local connected components.  ``angle``/``active`` must already be
+    padded to ``tile`` multiples.  Returns per-pixel labels that are
+    converged within each tile; compose with :func:`merge_tile_labels`."""
+    hp, wp = angle.shape
+    th, tw = tile
+    assert hp % th == 0 and wp % tw == 0, (hp, wp, tile)
+    grid = (hp // th, wp // tw)
+
+    kern = functools.partial(_cc_tile_kernel, wp=wp, tile_h=th, tile_w=tw,
+                             max_iters=max_iters, check_every=check_every)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        interpret=interpret,
+    )(tol.reshape(1), angle, active.astype(jnp.int32))
+
+
+def _border_links(lab, angle, active, tol, stride: int, axis: int):
+    """Aligned links across tile borders along one axis.
+
+    Returns (a, b) label pairs (INVALID where unlinked) for pixel rows
+    r = stride-1 (mod stride) against r+1, at column offsets -1/0/+1.
+    Full-length rows are used, so corner (diagonal cross-border) links are
+    covered by the +-1 offsets.
+    """
+    if axis == 1:
+        lab, angle, active = lab.T, angle.T, active.T
+    hp, wp = lab.shape
+    n = hp // stride - 1
+    if n <= 0:
+        empty = jnp.full((0,), INVALID, jnp.int32)
+        return empty, empty
+
+    def top(x):      # last row of tiles 0..n-1
+        return x.reshape(-1, stride, wp)[:n, stride - 1]
+
+    def bot(x):      # first row of tiles 1..n
+        return x.reshape(-1, stride, wp)[1:, 0]
+
+    top_l, top_a, top_m = top(lab), top(angle), top(active)
+    bot_l, bot_a, bot_m = bot(lab), bot(angle), bot(active)
+
+    outs_a, outs_b = [], []
+    for dx in (-1, 0, 1):
+        bl = jnp.roll(bot_l, -dx, axis=1)
+        ba = jnp.roll(bot_a, -dx, axis=1)
+        bm = jnp.roll(bot_m, -dx, axis=1)
+        if dx:
+            cols = jax.lax.broadcasted_iota(jnp.int32, bl.shape, 1)
+            edge = cols == (wp - 1 if dx == 1 else 0)
+            bm = bm & ~edge
+        linked = top_m & bm & (_angle_diff(top_a, ba) <= tol)
+        outs_a.append(jnp.where(linked, top_l, INVALID).reshape(-1))
+        outs_b.append(jnp.where(linked, bl, INVALID).reshape(-1))
+    return jnp.concatenate(outs_a), jnp.concatenate(outs_b)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "iters"))
+def merge_tile_labels(lab, angle, active, tol,
+                      tile: tuple = (TILE_H, TILE_W), iters: int = 16):
+    """Resolve cross-tile components: build the border-link graph, run
+    hook + pointer-jump union-find on compacted node ids, and return a
+    dense old-root -> new-root map ``T`` (identity off the merged set).
+    Apply as ``T[lab_values]`` (guarding INVALID labels)."""
+    hp, wp = lab.shape
+    ha, hb = _border_links(lab, angle, active, tol, tile[0], 0)
+    va, vb = _border_links(lab, angle, active, tol, tile[1], 1)
+    la = jnp.concatenate([ha, va])
+    lb = jnp.concatenate([hb, vb])
+    valid = (la != INVALID) & (lb != INVALID)
+    # every distinct node id appears in some link, so 2L bounds the node
+    # count; unique() at that size can never truncate
+    node_cap = max(1024, 1 << (2 * max(la.shape[0], 1) - 1).bit_length())
+
+    sentinel = jnp.int32(2**30)
+    ids = jnp.concatenate([jnp.where(valid, la, sentinel),
+                           jnp.where(valid, lb, sentinel)])
+    nodes = jnp.unique(ids, size=node_cap, fill_value=sentinel)
+    node_ok = nodes < sentinel
+
+    ia = jnp.clip(jnp.searchsorted(nodes, la), 0, node_cap - 1)
+    ib = jnp.clip(jnp.searchsorted(nodes, lb), 0, node_cap - 1)
+
+    parent0 = jnp.arange(node_cap, dtype=jnp.int32)
+
+    def body(_, parent):
+        pa = parent[ia]
+        pb = parent[ib]
+        lo = jnp.minimum(pa, pb)
+        parent = parent.at[jnp.where(valid, pa, node_cap)].min(lo,
+                                                               mode="drop")
+        parent = parent.at[jnp.where(valid, pb, node_cap)].min(lo,
+                                                               mode="drop")
+        parent = parent[parent]
+        return parent[parent]
+
+    parent = jax.lax.fori_loop(0, iters, body, parent0)
+    root_pix = nodes[parent]                      # (node_cap,) pixel-id roots
+
+    T = jnp.arange(hp * wp, dtype=jnp.int32)
+    T = T.at[jnp.where(node_ok, nodes, hp * wp)].set(
+        jnp.where(node_ok, root_pix, 0), mode="drop")
+    return T

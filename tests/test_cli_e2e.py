@@ -75,7 +75,7 @@ def test_cli_vsfm_end_to_end(tmp_path, rng):
     out_dir = tmp_path / "out"
     cli_main(["vsfm", "-i", str(tmp_path), "-m", str(nvm),
               "-o", str(out_dir), "-n", "4", "-y", "200",
-              "--no-optimize", "-v", "3"])
+              "--no-optimize", "-v", "3", "--min_image_width", "100"])
 
     outs = os.listdir(out_dir)
     assert any(o.endswith(".txt") for o in outs)

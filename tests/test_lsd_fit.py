@@ -1,0 +1,128 @@
+"""Pallas LSD fit kernels (ops/lsd_fit.py) vs numpy references.
+
+The moments/extents kernels run in interpreter mode on CPU and must match
+plain per-component reductions bit-for-bit (the same math the XLA fallback
+path computes with segment ops).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from line3dpp_tpu.ops import lsd_fit
+
+
+def _random_sorted_case(rng, n=2048, c_cap=256, dump_frac=0.15):
+    """Sorted slot array with interspersed dump entries + payloads."""
+    n_runs = 40
+    run_of = np.sort(rng.integers(0, n_runs, n))
+    slot = run_of.astype(np.int32)
+    dump = rng.uniform(size=n) < dump_frac
+    slot[dump] = c_cap
+    xs = rng.uniform(0, 500, n).astype(np.float32)
+    ys = rng.uniform(0, 300, n).astype(np.float32)
+    mag = rng.uniform(0.1, 9.0, n).astype(np.float32)
+    pix = (rng.uniform(size=n) < 0.8).astype(np.float32)
+    return slot, xs, ys, mag, pix
+
+
+def test_moments_kernel(rng):
+    c_cap = 256
+    slot, xs, ys, mag, pix = _random_sorted_case(rng)
+    mom = np.asarray(lsd_fit.moments(
+        jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(mag), jnp.asarray(pix), c_cap, interpret=True))
+
+    w = mag * pix
+    feats = np.stack([w, w * xs, w * ys, w * xs * xs, w * ys * ys,
+                      w * xs * ys, pix, np.zeros_like(w)])
+    want = np.zeros((8, c_cap), np.float32)
+    for c in range(c_cap):
+        m = slot == c
+        want[:, c] = feats[:, m].sum(1)
+    np.testing.assert_allclose(mom, want, rtol=1e-5, atol=1e-2)
+
+
+def test_extents_kernel(rng):
+    c_cap = 256
+    slot, xs, ys, mag, pix = _random_sorted_case(rng)
+    theta = rng.uniform(-np.pi, np.pi, c_cap).astype(np.float32)
+    cx = rng.uniform(0, 500, c_cap).astype(np.float32)
+    cy = rng.uniform(0, 300, c_cap).astype(np.float32)
+    gate = rng.uniform(0.5, 50.0, c_cap).astype(np.float32)
+
+    tables = np.zeros((8, c_cap + lsd_fit.WIN), np.float32)
+    tables[0, :c_cap] = np.cos(theta)
+    tables[1, :c_cap] = np.sin(theta)
+    tables[2, :c_cap] = cx
+    tables[3, :c_cap] = cy
+    tables[4, :c_cap] = gate
+
+    for dump_keep in (True, False):
+        ext, newpix = lsd_fit.extents(
+            jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(pix), jnp.asarray(tables), jnp.bool_(dump_keep),
+            c_cap, interpret=True)
+        ext, newpix = np.asarray(ext), np.asarray(newpix)
+
+        # reference per-pixel projections
+        ct, st = np.cos(theta), np.sin(theta)
+        sc = np.minimum(slot, c_cap - 1)
+        dxp = xs - cx[sc]
+        dyp = ys - cy[sc]
+        l_proj = dxp * ct[sc] + dyp * st[sc]
+        w_proj = -dxp * st[sc] + dyp * ct[sc]
+
+        want_ext = np.full((4, c_cap), lsd_fit.BIG, np.float32)
+        for c in range(c_cap):
+            m = (slot == c) & (pix != 0)
+            if m.any():
+                want_ext[0, c] = l_proj[m].min()
+                want_ext[1, c] = w_proj[m].min()
+                want_ext[2, c] = (-l_proj[m]).min()
+                want_ext[3, c] = (-w_proj[m]).min()
+        np.testing.assert_allclose(ext[:4], want_ext, rtol=1e-4, atol=1e-2)
+
+        want_pix = np.where(
+            slot < c_cap,
+            pix * (np.abs(w_proj) <= gate[sc]),
+            pix if dump_keep else 0.0).astype(np.float32)
+        np.testing.assert_array_equal(newpix, want_pix)
+
+
+def test_core_pallas_path_matches_xla(rng):
+    """The full _lsd_core with use_pallas_cc=True (interpret-mode kernels via
+    monkeypatch) must produce the same accepted segments as the XLA path."""
+    import functools
+
+    import line3dpp_tpu.ops.lsd as lsd
+    import line3dpp_tpu.ops.lsd_cc as lsd_cc
+
+    img = rng.uniform(0, 8, size=(96, 200)).astype(np.float32)
+    from tests.test_lsd import _draw_segment
+    for p, q in [((15.0, 20.0), (180.0, 28.0)), ((40.0, 80.0), (160.0, 30.0))]:
+        _draw_segment(img, p, q)
+
+    H, W = img.shape
+    segs_x, ok_x, _ = lsd._lsd_core(jnp.asarray(img), H, W,
+                                    use_pallas_cc=False)
+    a = np.asarray(segs_x)[np.asarray(ok_x)]
+
+    orig_cc, orig_mom, orig_ext = (lsd_cc.cc_tiles, lsd_fit.moments,
+                                   lsd_fit.extents)
+    lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
+    lsd_fit.moments = functools.partial(orig_mom, interpret=True)
+    lsd_fit.extents = functools.partial(orig_ext, interpret=True)
+    try:
+        segs_p, ok_p, _ = lsd._lsd_core(jnp.asarray(img), H, W,
+                                        use_pallas_cc=True)
+    finally:
+        lsd_cc.cc_tiles = orig_cc
+        lsd_fit.moments = orig_mom
+        lsd_fit.extents = orig_ext
+    b = np.asarray(segs_p)[np.asarray(ok_p)]
+
+    assert len(a) == len(b)
+    # same segments (order may differ across the two compaction layouts)
+    a_sorted = a[np.lexsort(a.T)]
+    b_sorted = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a_sorted, b_sorted, rtol=1e-3, atol=0.1)

@@ -68,22 +68,39 @@ def main():
     frac = float(jnp.mean(used.astype(jnp.float32)))
     print(f"active pixels     : {frac*100:.1f}% of {h2*w2}", flush=True)
 
-    cc = jax.jit(lambda a, u: lsd._connected_components(a, u, jnp.float32(prec), n_iters=16))
-    t = timeit(lambda: cc(angle, used))
-    print(f"CC (16 iters)     : {t*1e3:8.1f} ms", flush=True)
+    from line3dpp_tpu.ops import lsd_cc
+    th, tw = lsd._tile_for(h2, w2)
+    hp, wp = lsd._round_up(h2, th), lsd._round_up(w2, tw)
+    angle_p = jnp.pad(angle, ((0, hp - h2), (0, wp - w2)),
+                      constant_values=lsd._BIG_ANGLE)
+    used_p = jnp.pad(used, ((0, hp - h2), (0, wp - w2)))
 
-    lab = cc(angle, used)
-    nroots = int(jnp.sum((lab.reshape(-1) == jnp.arange(h2 * w2)) & used.reshape(-1)))
-    print(f"components        : {nroots}", flush=True)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        t = timeit(lambda: lsd_cc.cc_tiles(angle_p, used_p,
+                                           jnp.float32(prec), tile=(th, tw)))
+        print(f"CC pallas tiles   : {t*1e3:8.1f} ms", flush=True)
+        lab = lsd_cc.cc_tiles(angle_p, used_p, jnp.float32(prec),
+                              tile=(th, tw))
+        t = timeit(lambda: lsd_cc.merge_tile_labels(
+            lab, angle_p, used_p, jnp.float32(prec), tile=(th, tw)))
+        print(f"CC border merge   : {t*1e3:8.1f} ms", flush=True)
+    else:
+        cc = jax.jit(lambda a, u: lsd._connected_components(
+            a, u, jnp.float32(prec), n_iters=16))
+        t = timeit(lambda: cc(angle_p, used_p))
+        print(f"CC (16 iters)     : {t*1e3:8.1f} ms", flush=True)
 
-    # full core for reference
-    t = timeit(lambda: lsd._lsd_core(dimg, H, W), n=2)
+    # full core
+    t = timeit(lambda: lsd._lsd_core(dimg, H, W, use_pallas_cc=on_tpu), n=2)
     print(f"full _lsd_core    : {t*1e3:8.1f} ms", flush=True)
 
-    # full detect incl. host compaction
-    t0 = time.perf_counter()
-    segs = lsd.detect(img)
-    print(f"full detect(host) : {(time.perf_counter()-t0)*1e3:8.1f} ms, {len(segs)} segs", flush=True)
+    # full detect incl. host compaction + merge (twice: warm timing)
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        segs = lsd.detect(img)
+        print(f"full detect {tag}  : {(time.perf_counter()-t0)*1e3:8.1f} ms,"
+              f" {len(segs)} segs", flush=True)
 
 
 if __name__ == "__main__":
