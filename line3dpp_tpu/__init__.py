@@ -12,6 +12,7 @@ from .camera import Camera, rotation_from_rpy, rotation_from_quaternion, \
     decompose_projection_matrix, fundamental_matrix
 from .models.pipeline import Line3D
 from .utils.writers import FinalLine3D, load_bin
+from .utils.ref_bin import load_reference_bin
 
 
 def undistort_image(image, K, distortion):
@@ -33,6 +34,7 @@ def detect_line_segments(image, max_width: int = -1):
 __version__ = "0.1.0"
 __all__ = [
     "Config", "Camera", "Line3D", "FinalLine3D", "load_bin",
+    "load_reference_bin",
     "rotation_from_rpy", "rotation_from_quaternion",
     "decompose_projection_matrix", "fundamental_matrix",
     "undistort_image", "detect_line_segments",

@@ -216,6 +216,7 @@ def forward_step(
     aff = affinity_ops.affinity_dense(
         fm, t_seg, neighbor_ids, k_reg, median_depth,
         med_scene, two_sig_a_sqr, min_affinity,
+        use_pallas=use_pallas_matching,
     )
 
     return StepOutputs(

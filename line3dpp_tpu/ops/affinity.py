@@ -225,6 +225,7 @@ def affinity_dense(
     tgt_est: FilteredMatches | None = None,
     k_table: jnp.ndarray | None = None,
     median_depth_table: jnp.ndarray | None = None,
+    use_pallas: bool = False,
 ) -> AffinityDense:
     """Similarity of each (segment-estimate, match-target-estimate) pair
     (reference: line3D.cc:1449-1553, called from 1873-1899).
@@ -250,11 +251,21 @@ def affinity_dense(
     # gather the target segments' estimates.  All 3-vectors are handled as
     # separate x/y/z (V, S, M) component arrays: a (V, S, M, 3) layout would
     # be lane-padded 3 -> 128 on TPU and dominate HBM.
-    g = lambda x: x[tview, tgt_seg]                             # adv. indexing
-    P1b = [g(tgt_est.est_P1[..., i]) for i in range(3)]         # 3x (V, S, M)
-    P2b = [g(tgt_est.est_P2[..., i]) for i in range(3)]
-    d1b, d2b = g(tgt_est.est_d1), g(tgt_est.est_d2)             # (V, S, M)
-    validb = g(tgt_est.est_valid)
+    if use_pallas:
+        # one-hot MXU gather over per-neighbor-view tables — replaces ~8
+        # random 7.8M-element XLA gathers (ops/affinity_pallas.py)
+        from . import affinity_pallas
+
+        P1b, P2b, d1b, d2b, validb = \
+            affinity_pallas.gather_target_estimates(
+                tgt_est.est_P1, tgt_est.est_P2, tgt_est.est_d1,
+                tgt_est.est_d2, tgt_est.est_valid, neighbor_ids, tgt_seg, k)
+    else:
+        g = lambda x: x[tview, tgt_seg]                         # adv. indexing
+        P1b = [g(tgt_est.est_P1[..., i]) for i in range(3)]     # 3x (V, S, M)
+        P2b = [g(tgt_est.est_P2[..., i]) for i in range(3)]
+        d1b, d2b = g(tgt_est.est_d1), g(tgt_est.est_d2)         # (V, S, M)
+        validb = g(tgt_est.est_valid)
 
     # own estimates, broadcast over M
     P1a = [fm.est_P1[..., i, None] for i in range(3)]           # 3x (V, S, 1)
@@ -289,9 +300,12 @@ def affinity_dense(
     med_scene = jnp.asarray(med_scene_depth_lines, dtype=jnp.float32)
     scene_cut = jnp.where(med_scene > EPS, med_scene, jnp.inf)
     cut_a = jnp.minimum(median_depth[:, None, None], scene_cut)
-    cut_b = jnp.minimum(median_depth_table[tview], scene_cut)
+    # per-target-view scalars: tiny (V, N) lookup + repeat instead of a
+    # (V, S, M)-indexed gather from a V-entry table
+    per_pair = lambda t: jnp.repeat(t[neighbor_ids], k, axis=1)[:, None, :]
+    cut_b = jnp.minimum(per_pair(median_depth_table), scene_cut)
     k_a = k_reg[:, None, None]
-    k_b = k_table[tview]
+    k_b = per_pair(k_table)
     sig11 = jnp.minimum(d1a, cut_a) * k_a
     sig12 = jnp.minimum(d2a, cut_a) * k_a
     sig21 = jnp.minimum(d1b, cut_b) * k_b

@@ -74,14 +74,15 @@ def _cc_tile_kernel(tol_ref, angle_ref, act_ref, lab_ref, *, wp: int,
     tol = tol_ref[0]
 
     ang = angle_ref[:]
-    act = act_ref[:] != 0
+    act32 = act_ref[:]                 # int32 0/1 — Mosaic can't roll bools
+    act = act32 != 0
 
     # aligned-neighbor links, packed as bits of one int32 plane
     bits = jnp.zeros(ang.shape, jnp.int32)
     for d, (dy, dx) in enumerate(_NEIGHBORS):
         n_ang = _shift_tile(ang, dy, dx, _BIG_ANGLE)
-        n_act = _shift_tile(act, dy, dx, False)
-        aligned = act & n_act & (_angle_diff(ang, n_ang) <= tol)
+        n_act = _shift_tile(act32, dy, dx, 0)
+        aligned = act & (n_act != 0) & (_angle_diff(ang, n_ang) <= tol)
         bits = bits | (aligned.astype(jnp.int32) << d)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 0) + i * tile_h

@@ -95,6 +95,72 @@ def segment_set_metrics(
     return {"recall": recall, "precision": precision, "f1": f1}
 
 
+def line_match_metrics(
+    pred_lines: list[np.ndarray],
+    gold_lines: list[np.ndarray],
+    tol: float,
+    coverage_t: float = 0.8,
+    samples_per_seg: int = 8,
+) -> dict:
+    """One-to-one line-level matching between two sets of 3D lines.
+
+    Each line is an (n, 6) array of 3D segments.  A golden line can be
+    claimed by at most ONE predicted line (greedy, by descending coverage),
+    and counts as matched when that single prediction covers >=
+    ``coverage_t`` of its length within ``tol``.  Unlike the
+    length-weighted set metrics, this penalizes granularity mismatches: a
+    prediction that merges three golden lines can match only one of them
+    (VERDICT round-1 weak item 3: 1511 emitted vs 2489 golden lines).
+
+    Returns count_recall (matched golden / golden), count_precision
+    (claiming preds / preds) and count_f1.
+    """
+    if not pred_lines or not gold_lines:
+        return {"count_recall": 0.0, "count_precision": 0.0, "count_f1": 0.0}
+
+    # coverage[i, j] = fraction of golden line i's length within tol of
+    # predicted line j
+    gold_pts, gold_w, gold_of = [], [], []
+    for i, g in enumerate(gold_lines):
+        pts = _sample_points(g, samples_per_seg)
+        w = np.repeat(np.linalg.norm(g[:, 3:] - g[:, :3], axis=1),
+                      samples_per_seg) / samples_per_seg
+        gold_pts.append(pts)
+        gold_w.append(w)
+        gold_of.append(np.full(len(pts), i))
+    P = np.concatenate(gold_pts)
+    Wt = np.concatenate(gold_w)
+    Gi = np.concatenate(gold_of)
+    n_g, n_p = len(gold_lines), len(pred_lines)
+
+    cov = np.zeros((n_g, n_p))
+    tot = np.zeros(n_g)
+    np.add.at(tot, Gi, Wt)
+    for j, pl_ in enumerate(pred_lines):
+        d = _point_to_segments_dist(P, pl_)
+        np.add.at(cov[:, j], Gi, Wt * (d < tol))
+    cov /= np.maximum(tot[:, None], 1e-12)
+
+    # greedy one-to-one assignment by descending coverage
+    matched_g = np.zeros(n_g, bool)
+    used_p = np.zeros(n_p, bool)
+    order = np.argsort(-cov, axis=None)
+    for flat in order:
+        i, j = divmod(int(flat), n_p)
+        if cov[i, j] < coverage_t:
+            break
+        if not matched_g[i] and not used_p[j]:
+            matched_g[i] = True
+            used_p[j] = True
+
+    count_recall = float(matched_g.mean())
+    count_precision = float(used_p.sum() / n_p)
+    f1 = (2 * count_recall * count_precision
+          / max(count_recall + count_precision, 1e-12))
+    return {"count_recall": count_recall, "count_precision": count_precision,
+            "count_f1": f1}
+
+
 def stack_golden_segments(lines: list[GoldenLine]) -> np.ndarray:
     return np.concatenate([l.segments3d for l in lines], axis=0)
 

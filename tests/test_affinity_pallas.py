@@ -1,0 +1,79 @@
+"""One-hot MXU target-estimate gather (ops/affinity_pallas.py) vs the XLA
+advanced-indexing gather it replaces — must be bit-exact, and the full
+affinity_dense outputs must match between the two paths."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from line3dpp_tpu.ops import affinity, affinity_pallas
+
+
+def _case(rng, V=4, S=40, N=3, k=5):
+    est_P1 = rng.normal(size=(V, S, 3)).astype(np.float32)
+    est_P2 = est_P1 + rng.normal(size=(V, S, 3)).astype(np.float32)
+    est_d1 = rng.uniform(1.0, 9.0, (V, S)).astype(np.float32)
+    est_d2 = rng.uniform(1.0, 9.0, (V, S)).astype(np.float32)
+    est_valid = rng.uniform(size=(V, S)) < 0.7
+    nbr = np.stack([rng.permutation(V)[:N] for _ in range(V)]).astype(np.int32)
+    tgt_seg = rng.integers(0, S, (V, S, N * k)).astype(np.int32)
+    return est_P1, est_P2, est_d1, est_d2, est_valid, nbr, tgt_seg
+
+
+def test_gather_matches_xla(rng):
+    est_P1, est_P2, est_d1, est_d2, est_valid, nbr, tgt_seg = _case(rng)
+    V, S, M = tgt_seg.shape
+    k = M // nbr.shape[1]
+
+    P1b, P2b, d1b, d2b, validb = affinity_pallas.gather_target_estimates(
+        jnp.asarray(est_P1), jnp.asarray(est_P2), jnp.asarray(est_d1),
+        jnp.asarray(est_d2), jnp.asarray(est_valid), jnp.asarray(nbr),
+        jnp.asarray(tgt_seg), k, interpret=True)
+
+    tview = np.repeat(nbr, k, axis=1)[:, None, :] * np.ones((V, S, M), int)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(P1b[i]),
+                                      est_P1[..., i][tview, tgt_seg])
+        np.testing.assert_array_equal(np.asarray(P2b[i]),
+                                      est_P2[..., i][tview, tgt_seg])
+    want_valid = est_valid[tview, tgt_seg]
+    np.testing.assert_array_equal(np.asarray(validb), want_valid)
+    np.testing.assert_array_equal(np.asarray(d1b)[want_valid],
+                                  est_d1[tview, tgt_seg][want_valid])
+    np.testing.assert_array_equal(np.asarray(d2b), est_d2[tview, tgt_seg])
+
+
+def test_affinity_dense_pallas_path(rng, monkeypatch):
+    """affinity_dense(use_pallas=True) == affinity_dense(use_pallas=False)
+    wherever edges are valid (invalid targets' d1 differ by encoding but are
+    masked)."""
+    import functools
+
+    est_P1, est_P2, est_d1, est_d2, est_valid, nbr, tgt_seg = _case(rng)
+    V, S, M = tgt_seg.shape
+    k = M // nbr.shape[1]
+    fm = affinity.FilteredMatches(
+        kept=jnp.asarray(rng.uniform(size=(V, S, M)) < 0.6),
+        best_slot=jnp.zeros((V, S), jnp.int32),
+        est_valid=jnp.asarray(est_valid),
+        est_P1=jnp.asarray(est_P1), est_P2=jnp.asarray(est_P2),
+        est_d1=jnp.asarray(est_d1), est_d2=jnp.asarray(est_d2),
+        max_score=jnp.ones((V,), jnp.float32),
+    )
+    k_reg = jnp.asarray(rng.uniform(0.001, 0.01, V).astype(np.float32))
+    med = jnp.asarray(rng.uniform(3, 8, V).astype(np.float32))
+
+    monkeypatch.setattr(
+        affinity_pallas, "gather_target_estimates",
+        functools.partial(affinity_pallas.gather_target_estimates,
+                          interpret=True))
+
+    a = affinity.affinity_dense(fm, jnp.asarray(tgt_seg), jnp.asarray(nbr),
+                                k_reg, med, 5.0, 200.0, 0.5)
+    b = affinity.affinity_dense(fm, jnp.asarray(tgt_seg), jnp.asarray(nbr),
+                                k_reg, med, 5.0, 200.0, 0.5,
+                                use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(a.edge_valid),
+                                  np.asarray(b.edge_valid))
+    np.testing.assert_allclose(np.asarray(a.weight), np.asarray(b.weight),
+                               rtol=1e-6, atol=1e-7)
+    assert int(np.asarray(a.edge_valid).sum()) > 0

@@ -32,7 +32,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import line3dpp_tpu as l3d
 from line3dpp_tpu.utils.golden import (
-    parse_lines3d_txt, scene_scale, segment_set_metrics, stack_golden_segments,
+    line_match_metrics, parse_lines3d_txt, scene_scale, segment_set_metrics,
+    stack_golden_segments,
 )
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
@@ -86,12 +87,17 @@ def main():
         + ("__kNN_10__OPTIMIZED__vis_3.txt" if optimize
            else "__kNN_10__vis_3.txt"),
     )
-    gold = stack_golden_segments(parse_lines3d_txt(golden_txt))
+    gold_lines = parse_lines3d_txt(golden_txt)
+    gold = stack_golden_segments(gold_lines)
     pred = (np.concatenate([l.segments3d for l in lines])
             if lines else np.zeros((0, 6)))
     tol = 0.01 * scene_scale(gold)
     m = segment_set_metrics(pred, gold, tol=tol)
-    print(f"golden lines: {len(gold)} segments | predicted: {len(pred)} segments")
+    cm = line_match_metrics([l.segments3d for l in lines],
+                            [g.segments3d for g in gold_lines], tol=tol)
+    m.update(cm)
+    print(f"golden: {len(gold_lines)} lines / {len(gold)} segments | "
+          f"predicted: {len(lines)} lines / {len(pred)} segments")
     print(f"tol={tol:.3f} (1% of scene scale)")
     print("metrics vs golden:", {k: round(v, 4) for k, v in m.items()})
     return m
