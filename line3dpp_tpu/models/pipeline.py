@@ -229,7 +229,7 @@ class Line3D:
         )
 
         fm = affinity_ops.FilteredMatches(
-            kept=out.kept, best_slot=jnp.zeros_like(out.tgt_seg[..., 0]),
+            kept=out.kept,
             est_valid=out.est_valid, est_P1=out.est_P1, est_P2=out.est_P2,
             est_d1=out.est_d1, est_d2=out.est_d2,
             max_score=jnp.zeros((V,), jnp.float32),
@@ -374,7 +374,7 @@ class Line3D:
             ww = np.zeros(0, np.float32)
 
         fm = affinity_ops.FilteredMatches(
-            kept=None, best_slot=None,
+            kept=None,
             est_valid=est_valid, est_P1=est_P1, est_P2=est_P2,
             est_d1=est_d1, est_d2=est_d2, max_score=None,
         )

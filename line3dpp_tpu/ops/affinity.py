@@ -30,7 +30,6 @@ EPS = 1e-12
 
 class FilteredMatches(NamedTuple):
     kept: jnp.ndarray         # (V, S, M) bool — survives the 10%-of-max cut
-    best_slot: jnp.ndarray    # (V, S) int32 — argmax score slot
     est_valid: jnp.ndarray    # (V, S) bool — best score > 0.75
     est_P1: jnp.ndarray       # (V, S, 3) hypothesis endpoints
     est_P2: jnp.ndarray       # (V, S, 3)
@@ -70,7 +69,6 @@ def filter_matches(
 
     return FilteredMatches(
         kept=kept,
-        best_slot=best_slot.astype(jnp.int32),
         est_valid=est_valid,
         est_P1=est_P1,
         est_P2=est_P2,

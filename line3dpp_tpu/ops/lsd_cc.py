@@ -188,7 +188,7 @@ def _border_links(lab, angle, active, tol, stride: int, axis: int):
 
 @functools.partial(jax.jit, static_argnames=("tile", "iters"))
 def merge_tile_labels(lab, angle, active, tol,
-                      tile: tuple = (TILE_H, TILE_W), iters: int = 16):
+                      tile: tuple = (TILE_H, TILE_W), iters: int = 8):
     """Resolve cross-tile components: build the border-link graph, run
     hook + pointer-jump union-find on compacted node ids, and return a
     dense old-root -> new-root map ``T`` (identity off the merged set).

@@ -120,7 +120,10 @@ def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
     dump_keep = dump_ref[0] != 0       # pix value for dump pixels in newpix
 
     window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
-    ext = jnp.full((ROWS, WIN), BIG, jnp.float32)
+    # running per-bucket minima as (WIN, 1) columns (functional — Mosaic
+    # has no in-kernel scatter); transposed to (8, WIN) at the end via an
+    # exact eye(8) matmul
+    cols = [jnp.full((WIN, 1), BIG, jnp.float32) for _ in range(4)]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
     for r in range(ROWS):
         loc_r = local[r:r + 1, :]                              # (1, 128)
@@ -139,24 +142,28 @@ def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
         w_proj = -dxp * st + dyp * ct
 
         inpix = (pix_r != 0.0) & msk_r
-        sel = oh * jnp.where(inpix, 1.0, 0.0)                  # (WIN, 128)
-        ON = sel != 0.0
+        ON = (oh != 0.0) & inpix                               # (WIN, 128)
 
-        def acc_min(row, v):
-            return jnp.minimum(row, jnp.min(
-                jnp.where(ON, jnp.broadcast_to(v, ON.shape), BIG),
-                axis=1))
+        def col_min(col, v):
+            m = jnp.where(ON, jnp.broadcast_to(v, ON.shape), BIG)
+            return jnp.minimum(col, jnp.min(m, axis=1, keepdims=True))
 
-        ext = ext.at[0].set(acc_min(ext[0], l_proj))
-        ext = ext.at[1].set(acc_min(ext[1], w_proj))
-        ext = ext.at[2].set(acc_min(ext[2], -l_proj))
-        ext = ext.at[3].set(acc_min(ext[3], -w_proj))
+        cols = [col_min(cols[0], l_proj), col_min(cols[1], w_proj),
+                col_min(cols[2], -l_proj), col_min(cols[3], -w_proj)]
 
         keep = (pix_r != 0.0) & (jnp.abs(w_proj) <= gate)
         newpix_ref[r, :] = jnp.where(
             msk_r, jnp.where(keep, 1.0, 0.0),
             jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))[0]
 
+    A = jnp.concatenate(
+        cols + [jnp.full((WIN, 1), BIG, jnp.float32)] * 4, axis=1)  # (WIN, 8)
+    eye8 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1), 1.0, 0.0)
+    # ext[f, w] = A[w, f]: exact transpose as an identity matmul
+    ext = jax.lax.dot_general(eye8, A, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
     cur = ext_ref[:, pl.ds(lo, WIN)]
     ext_ref[:, pl.ds(lo, WIN)] = jnp.minimum(cur, ext)
 

@@ -85,7 +85,6 @@ def _local_step(
     gather = lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True)
     tgt_est = affinity_ops.FilteredMatches(
         kept=fm.kept,  # unused on the target side
-        best_slot=fm.best_slot,
         est_valid=gather(fm.est_valid),
         est_P1=gather(fm.est_P1),
         est_P2=gather(fm.est_P2),

@@ -53,7 +53,6 @@ def test_affinity_dense_pallas_path(rng, monkeypatch):
     k = M // nbr.shape[1]
     fm = affinity.FilteredMatches(
         kept=jnp.asarray(rng.uniform(size=(V, S, M)) < 0.6),
-        best_slot=jnp.zeros((V, S), jnp.int32),
         est_valid=jnp.asarray(est_valid),
         est_P1=jnp.asarray(est_P1), est_P2=jnp.asarray(est_P2),
         est_d1=jnp.asarray(est_d1), est_d2=jnp.asarray(est_d2),
