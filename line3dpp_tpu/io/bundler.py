@@ -14,9 +14,10 @@ import os
 
 import numpy as np
 
-from .types import SfMView
+from .types import SfMView, loud_parser
 
 
+@loud_parser("bundler")
 def read_bundler(bundle_path: str, image_dir: str,
                  image_list: str | None = None,
                  image_ext: str = ".jpg") -> list[SfMView]:

@@ -17,7 +17,7 @@ import struct
 import numpy as np
 
 from ..camera import rotation_from_quaternion
-from .types import SfMView
+from .types import SfMView, loud_parser
 
 _MODELS = {
     "SIMPLE_PINHOLE": ("f", "cx", "cy"),
@@ -130,6 +130,7 @@ def _read_colmap_bin(model_dir: str, image_dir: str) -> list[SfMView]:
     return out
 
 
+@loud_parser("COLMAP")
 def read_colmap(model_dir: str, image_dir: str) -> list[SfMView]:
     if (not os.path.exists(os.path.join(model_dir, "cameras.txt"))
             and os.path.exists(os.path.join(model_dir, "cameras.bin"))):

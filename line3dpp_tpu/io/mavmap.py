@@ -21,9 +21,10 @@ import os
 import numpy as np
 
 from ..camera import rotation_from_rpy
-from .types import SfMView
+from .types import SfMView, loud_parser
 
 
+@loud_parser("mavmap")
 def read_mavmap(data_path: str, image_dir: str,
                 K: np.ndarray | None = None,
                 image_ext: str = ".jpg") -> list[SfMView]:

@@ -15,9 +15,10 @@ import os
 import numpy as np
 
 from ..camera import rotation_from_quaternion
-from .types import SfMView
+from .types import SfMView, loud_parser
 
 
+@loud_parser("NVM")
 def read_nvm(nvm_path: str, image_dir: str | None = None) -> list[SfMView]:
     image_dir = image_dir or os.path.dirname(os.path.abspath(nvm_path))
     with open(nvm_path) as f:

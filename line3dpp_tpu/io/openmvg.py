@@ -12,9 +12,10 @@ import os
 
 import numpy as np
 
-from .types import SfMView
+from .types import SfMView, loud_parser
 
 
+@loud_parser("OpenMVG sfm_data")
 def read_openmvg(sfm_json: str, image_dir: str | None = None) -> list[SfMView]:
     data = json.load(open(sfm_json))
     root = data.get("root_path", "")

@@ -24,7 +24,7 @@ import os
 
 import numpy as np
 
-from .types import SfMView
+from .types import SfMView, loud_parser
 
 
 def _triangulate_linear(obs, Ps):
@@ -93,6 +93,7 @@ def _read_tracks(path: str, views: list[SfMView]) -> None:
             v.median_depth = float(np.median(d))
 
 
+@loud_parser("Pix4D")
 def read_pix4d(params_dir: str, image_dir: str) -> list[SfMView]:
     cands = glob.glob(os.path.join(params_dir,
                                    "*_calibrated_camera_parameters.txt"))

@@ -27,3 +27,30 @@ class SfMView:
     distortion: np.ndarray | None = None   # (k1,k2,k3,p1,p2) or None
     worldpoints: list[int] | None = None
     median_depth: float = 1.0
+
+
+def loud_parser(fmt_name: str):
+    """Wrap an SfM reader so malformed/truncated files raise one clear
+    ValueError naming the file and format instead of leaking StopIteration
+    or a bare index error (the reference exits(1) on unreadable archives,
+    serialization.h:52-55; we fail loudly without killing the process)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(path, *args, **kwargs):
+            try:
+                return fn(path, *args, **kwargs)
+            except (StopIteration, ValueError, IndexError, KeyError,
+                    RuntimeError, EOFError, struct_error) as e:
+                raise ValueError(
+                    f"malformed {fmt_name} input '{path}': "
+                    f"{type(e).__name__}: {e}") from e
+        return wrapper
+    return deco
+
+
+try:
+    from struct import error as struct_error
+except ImportError:                       # pragma: no cover
+    struct_error = ValueError

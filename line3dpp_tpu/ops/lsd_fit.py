@@ -42,10 +42,13 @@ BIG = 1e9
 
 
 def _tile_window_lo(slot, c_cap):
-    """Smallest non-dump slot in the tile (c_cap if the tile is all dump),
-    clamped so [lo, lo+WIN) stays inside the padded table."""
+    """Start of the tile's component window: smallest non-dump slot,
+    aligned DOWN to a 128-lane boundary (Mosaic dynamic slices must be
+    lane-aligned).  Window slack: max in-tile slot span is 1024, plus at
+    most 127 alignment shift — WIN = 1152 covers both exactly."""
     lo = jnp.min(jnp.where(slot < c_cap, slot, c_cap))
-    return jnp.minimum(lo, c_cap + WIN - WIN)  # == min(lo, c_cap)
+    lo = jnp.minimum(lo, c_cap)
+    return pl.multiple_of((lo // LANES) * LANES, LANES)
 
 
 def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
@@ -57,7 +60,10 @@ def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
     slot = slot_ref[:]
     lo = _tile_window_lo(slot, c_cap)
     local = jnp.clip(slot - lo, 0, WIN - 1)
-    mask = slot < c_cap
+    # encode out-of-window (dump) pixels as local id WIN-1 with a poisoned
+    # id that can never match: Mosaic cannot reshape i1 vectors, so the
+    # mask is folded into the int32 local ids instead
+    local = jnp.where(slot < c_cap, local, WIN + 1)
 
     res = jnp.zeros((ROWS, WIN), jnp.float32)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
@@ -70,8 +76,7 @@ def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
             [w, w * x, w * y, w * x * x, w * y * y, w * x * y, pixf,
              jnp.zeros_like(w)], axis=0)                      # (8, 128)
         oh_t = jnp.where(
-            (iota_w == local[r:r + 1, :].reshape(LANES, 1))
-            & mask[r:r + 1, :].reshape(LANES, 1),
+            iota_w == local[r:r + 1, :].reshape(LANES, 1),
             1.0, 0.0)                                         # (128, WIN)
         res = res + jax.lax.dot_general(
             feats, oh_t, (((1,), (0,)), ((), ())),

@@ -296,3 +296,22 @@ def test_read_pix4d_tracks(tmp_path):
         assert v.worldpoints == [0]
         expect = np.linalg.norm(X - np.array([0.5 * i, 0, 0]))
         assert v.median_depth == pytest.approx(expect, rel=1e-3)
+
+
+def test_malformed_inputs_fail_loudly(tmp_path):
+    """Truncated/garbage SfM files raise one clear ValueError naming the
+    file (VERDICT round-1 item 7: readers must not index blindly)."""
+    import pytest
+
+    from line3dpp_tpu.io.nvm import read_nvm
+    from line3dpp_tpu.io.bundler import read_bundler
+
+    trunc = tmp_path / "trunc.nvm"
+    trunc.write_text("NVM_V3\n\n5\nimg0.jpg 800 1 0 0 0")   # cut mid-camera
+    with pytest.raises(ValueError, match="malformed NVM"):
+        read_nvm(str(trunc))
+
+    garbage = tmp_path / "bundle.rd.out"
+    garbage.write_text("# Bundle file v0.3\n2 0\nnot_a_number 0 0\n")
+    with pytest.raises(ValueError, match="malformed bundler"):
+        read_bundler(str(garbage), str(tmp_path), [])
