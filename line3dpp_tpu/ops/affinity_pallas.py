@@ -43,7 +43,8 @@ def _kernel(nbr_ref, tab_ref, idx_ref, out_ref, *, sp: int):
         oh = jnp.where(iota_s == idx[r:r + 1, :], 1.0, 0.0)   # (Sp, 128)
         out_ref[:, 0, r, :] = jax.lax.dot_general(
             tab, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (8, 128)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -150,35 +150,28 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "n_rounds",
-                                              "cc_iters", "refine_iters",
-                                              "use_pallas_cc", "nc_scale"))
-def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
-              cc_iters: int = 16, refine_iters: int = 2,
-              use_pallas_cc: bool = False, nc_scale: float = 0.55):
-    # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
-    # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
-    """Full detection on an already-loaded (H, W) float32 grayscale image
-    in [0, 255].  Returns per-pixel-slot candidate segments + validity —
-    compacted on the host.
+def _lsd_statics(H: int, W: int, nc_scale: float):
+    """Shape constants shared by the detection sub-programs."""
+    h2, w2 = int(round(H * SCALE)), int(round(W * SCALE))
+    th, tw = _tile_for(h2, w2)
+    hp, wp = _round_up(h2, th), _round_up(w2, tw)
+    NC = _round_up(int(nc_scale * h2 * w2) + 1024, 1024)  # active-pixel cap
+    c_cap = min(1 << 17, _round_up(hp * wp, 128))         # component cap
+    return h2, w2, th, tw, hp, wp, NC, c_cap
 
-    TPU-first layout (round-2 rework): after the dense gradient field and
-    connected components, everything runs over a **compacted active-pixel
-    list sorted by component label** — rectangle fits become sorted-segment
-    reductions into component-table slots (262k) instead of 4.5M-wide
-    scatter/gathers, which were the round-1 bottleneck (7.2 s of the
-    10.6 s/image).  CC itself uses the tile-local Pallas kernel + border
-    merge (ops/lsd_cc.py) on TPU, hook+jump XLA elsewhere."""
-    from . import lsd_cc
 
-    # 1. Gaussian subsample to SCALE (lsd.cpp `gaussian_sampler`)
+@functools.partial(jax.jit, static_argnames=("H", "W", "nc_scale"))
+def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
+    """Gaussian subsample + level-line field + used-pixel compaction
+    (lsd.cpp `gaussian_sampler` / `ll_angle`)."""
+    h2, w2, th, tw, hp, wp, NC, c_cap = _lsd_statics(H, W, nc_scale)
+
     sigma = SIGMA_SCALE / SCALE
     kern = jnp.asarray(_gaussian_kernel(sigma))
     blurred = _separable_blur(img, kern)
-    h2, w2 = int(round(H * SCALE)), int(round(W * SCALE))
     simg = _bilinear_resize(blurred, h2, w2)
 
-    # 2. level-line angle field (lsd.cpp ll_angle): 2x2 gradient masks
+    # level-line angle field (lsd.cpp ll_angle): 2x2 gradient masks
     a = simg
     gx = (_shift(a, 0, 1, 0) - a + _shift(a, 1, 1, 0) - _shift(a, 1, 0, 0)) * 0.5
     gy = (_shift(a, 1, 0, 0) - a + _shift(a, 1, 1, 0) - _shift(a, 0, 1, 0)) * 0.5
@@ -194,28 +187,13 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     # pad to CC-tile multiples; padded pixels are inactive.  All pixel
     # coordinates below are padded-grid flat indices (padding sits at the
     # right/bottom, so x/y coordinates are unchanged).
-    th, tw = _tile_for(h2, w2)
-    hp, wp = _round_up(h2, th), _round_up(w2, tw)
     angle = jnp.pad(angle, ((0, hp - h2), (0, wp - w2)),
                     constant_values=_BIG_ANGLE)
     mag = jnp.pad(mag, ((0, hp - h2), (0, wp - w2)))
     used = jnp.pad(used, ((0, hp - h2), (0, wp - w2)))
 
-    # 3..5: multi-round extraction.  Each round runs connected components on
-    # the still-active pixels, fits/refines rectangles, validates by
-    # density + NFA, then removes accepted rectangles' pixels — the parallel
-    # analog of LSD marking region pixels USED so remaining structures (e.g.
-    # a parallel line merged into the same gradient blob) can form their own
-    # regions in the next round (lsd.cpp:2082-2091).
-    HWp = hp * wp
-    # caps scale with the real (unpadded) pixel count; padding is inactive.
-    # c_cap 128k suffices because sub-5-pixel runs never get ranked (below).
-    NC = _round_up(int(nc_scale * h2 * w2) + 1024, 1024)  # active-pixel cap
-    c_cap = min(1 << 17, _round_up(HWp, 128))             # component cap
-    big = jnp.float32(1e9)
-    int_max = jnp.int32(2**31 - 1)
-
     # compact the (round-invariant) used-pixel set once
+    HWp = hp * wp
     flat_used = used.reshape(-1)
     used_count = jnp.sum(flat_used.astype(jnp.int32))
     idx_used = jnp.nonzero(flat_used, size=NC, fill_value=HWp)[0]
@@ -224,11 +202,30 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     xs_c = (idx_used % wp).astype(jnp.float32)
     ys_c = (idx_used // wp).astype(jnp.float32)
     mag_c = jnp.where(cvalid, mag.reshape(-1)[safe_idx], 0.0)
+    return angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c
 
+
+@functools.partial(jax.jit, static_argnames=(
+    "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc"))
+def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c,
+               link_tol, *, th: int, tw: int, c_cap: int, hw2: int,
+               cc_iters: int, refine_iters: int, use_pallas_cc: bool):
+    """One extraction round: CC -> sort-by-label -> rectangle fits ->
+    NFA acceptance -> pixel consumption.  All three annealed rounds share
+    this single compiled program (the link tolerance is a traced scalar;
+    a monolithic 3-round jit took >30 min to compile on the axon relay)."""
+    from . import lsd_cc
+
+    hp, wp = angle.shape
+    HWp = hp * wp
+    NC = idx_used.shape[0]
+    safe_idx = jnp.minimum(idx_used, HWp - 1)
+    big = jnp.float32(1e9)
+    int_max = jnp.int32(2**31 - 1)
     p_nfa = ANG_TH / 180.0
-    log_ntests = 2.5 * math.log10(float(h2 * w2))       # (HW)^{5/2} tests
+    log_ntests = 2.5 * math.log10(float(hw2))           # (HW)^{5/2} tests
 
-    def one_round(active_d, link_tol):
+    if True:
         # --- connected components on the dense grid ---
         if use_pallas_cc:
             lab_d = lsd_cc.cc_tiles(angle, active_d, link_tol, tile=(th, tw))
@@ -422,16 +419,41 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                     length=f["length"], width=f["width"], ncomp=ncomp)
         return segs, ok, active_next, diag
 
+
+def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
+              cc_iters: int = 16, refine_iters: int = 2,
+              use_pallas_cc: bool = False, nc_scale: float = 0.62):
+    # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
+    # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
+    """Full detection on an already-loaded (H, W) float32 grayscale image
+    in [0, 255].  Returns per-component-slot candidate segments + validity.
+
+    TPU-first layout (round-2 rework): after the dense gradient field and
+    connected components, everything runs over a **compacted active-pixel
+    list sorted by component label** — rectangle fits become one-hot-MXU
+    window reductions into component-table slots instead of 4.5M-wide
+    scatter/gathers (the round-1 bottleneck: 7.2 s of 10.6 s/image).  CC
+    uses the tile-local Pallas kernel + border merge (ops/lsd_cc.py) on
+    TPU, hook+jump XLA elsewhere.  Orchestrated as three sub-programs
+    (gradient/compaction, one shared round, output compaction) to keep
+    remote compile times tractable."""
+    h2, w2, th, tw, hp, wp, NC, c_cap = _lsd_statics(H, W, nc_scale)
+    (angle, used, used_count, idx_used, cvalid, xs_c, ys_c,
+     mag_c) = _grad_compact(img, H, W, nc_scale)
+
     # round 1 links at the full 22.5° tolerance; later rounds re-cluster the
     # leftover pixels with tighter tolerances so smoothly-curving chains and
     # corner blobs (where the pairwise-link formulation over-merges relative
     # to LSD's region-angle test) split into straight pieces.
-    prec_f = jnp.float32(prec)
+    prec_f = jnp.float32(math.radians(ANG_TH))
     active_d = used
     all_segs, all_ok = [], []
     diag = None
     for link_tol in (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]:
-        segs_r, ok_r, active_d, diag = one_round(active_d, link_tol)
+        segs_r, ok_r, active_d, diag = _lsd_round(
+            angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, link_tol,
+            th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2, cc_iters=cc_iters,
+            refine_iters=refine_iters, use_pallas_cc=use_pallas_cc)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
 
@@ -575,7 +597,7 @@ _MAX_RAW_SEGMENTS = 32768
 @functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
                                               "nc_scale"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
-                    use_pallas_cc: bool = False, nc_scale: float = 0.55):
+                    use_pallas_cc: bool = False, nc_scale: float = 0.62):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""

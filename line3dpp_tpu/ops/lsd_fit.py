@@ -80,7 +80,8 @@ def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
             1.0, 0.0)                                         # (128, WIN)
         res = res + jax.lax.dot_general(
             feats, oh_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (8, WIN)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (8, WIN)
 
     acc_ref[:, pl.ds(lo, WIN)] += res
 
@@ -113,36 +114,46 @@ def moments(slot, xs, ys, mag, pix, c_cap: int, interpret: bool = False):
 
 
 def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
-                   ext_ref, newpix_ref, *, c_cap: int):
+                   ext_ref, newpix_ref, win_ref, dma_sem, *, c_cap: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         ext_ref[:] = jnp.full_like(ext_ref, BIG)
 
-    slot = slot_ref[:]
-    lo = _tile_window_lo(slot, c_cap)
-    local = jnp.clip(slot - lo, 0, WIN - 1)
-    mask = slot < c_cap
+    lo = _tile_window_lo(slot_ref[:], c_cap)
     dump_keep = dump_ref[0] != 0       # pix value for dump pixels in newpix
 
-    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
+    # the full feature table (8, c_cap+WIN) would not fit VMEM next to the
+    # extents accumulator; it stays in HBM and only the tile's 128-aligned
+    # window is DMA'd in
+    copy = pltpu.make_async_copy(tab_ref.at[:, pl.ds(lo, WIN)], win_ref,
+                                 dma_sem)
+    copy.start()
+    copy.wait()
+    window = win_ref[:]                                       # (8, WIN)
     # running per-bucket minima as (WIN, 1) columns (functional — Mosaic
     # has no in-kernel scatter); transposed to (8, WIN) at the end via an
-    # exact eye(8) matmul
-    cols = [jnp.full((WIN, 1), BIG, jnp.float32) for _ in range(4)]
+    # exact eye(8) matmul.  The sublane-row loop is a fori_loop, not a
+    # Python unroll: unrolling keeps eight (WIN, 128) temporaries live and
+    # blows the Mosaic stack past VMEM.
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
-    for r in range(ROWS):
-        loc_r = local[r:r + 1, :]                              # (1, 128)
-        msk_r = mask[r:r + 1, :]
-        pix_r = pix_ref[r:r + 1, :]
+
+    def row_body(r, cols):
+        # dynamic row reads must go through the refs (Mosaic has no
+        # dynamic_slice on values)
+        slot_r = slot_ref[pl.ds(r, 1), :]
+        loc_r = jnp.clip(slot_r - lo, 0, WIN - 1)
+        msk_r = slot_r < c_cap
+        pix_r = pix_ref[pl.ds(r, 1), :]
         oh = jnp.where((iota_w == loc_r) & msk_r, 1.0, 0.0)    # (WIN, 128)
         vals = jax.lax.dot_general(
             window, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (8, 128)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
         ct, st = vals[0:1, :], vals[1:2, :]
         cx, cy = vals[2:3, :], vals[3:4, :]
         gate = vals[4:5, :]
-        dxp = xs_ref[r:r + 1, :] - cx
-        dyp = ys_ref[r:r + 1, :] - cy
+        dxp = xs_ref[pl.ds(r, 1), :] - cx
+        dyp = ys_ref[pl.ds(r, 1), :] - cy
         l_proj = dxp * ct + dyp * st
         w_proj = -dxp * st + dyp * ct
 
@@ -153,22 +164,27 @@ def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
             m = jnp.where(ON, jnp.broadcast_to(v, ON.shape), BIG)
             return jnp.minimum(col, jnp.min(m, axis=1, keepdims=True))
 
-        cols = [col_min(cols[0], l_proj), col_min(cols[1], w_proj),
-                col_min(cols[2], -l_proj), col_min(cols[3], -w_proj)]
-
         keep = (pix_r != 0.0) & (jnp.abs(w_proj) <= gate)
-        newpix_ref[r, :] = jnp.where(
+        newpix_ref[pl.ds(r, 1), :] = jnp.where(
             msk_r, jnp.where(keep, 1.0, 0.0),
-            jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))[0]
+            jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))
+
+        return (col_min(cols[0], l_proj), col_min(cols[1], w_proj),
+                col_min(cols[2], -l_proj), col_min(cols[3], -w_proj))
+
+    init = tuple(jnp.full((WIN, 1), BIG, jnp.float32) for _ in range(4))
+    cols = jax.lax.fori_loop(0, ROWS, row_body, init)
 
     A = jnp.concatenate(
-        cols + [jnp.full((WIN, 1), BIG, jnp.float32)] * 4, axis=1)  # (WIN, 8)
+        list(cols) + [jnp.full((WIN, 1), BIG, jnp.float32)] * 4,
+        axis=1)                                                # (WIN, 8)
     eye8 = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1), 1.0, 0.0)
     # ext[f, w] = A[w, f]: exact transpose as an identity matmul
     ext = jax.lax.dot_general(eye8, A, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
     cur = ext_ref[:, pl.ds(lo, WIN)]
     ext_ref[:, pl.ds(lo, WIN)] = jnp.minimum(cur, ext)
 
@@ -197,10 +213,12 @@ def extents(slot, xs, ys, pix, tables, dump_keep: jnp.ndarray,
         functools.partial(_extent_kernel, c_cap=c_cap),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [blk] * 4 + [full],
+        + [blk] * 4 + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(full, blk),
         out_shape=(jax.ShapeDtypeStruct((ROWS, c_cap + WIN), jnp.float32),
                    jax.ShapeDtypeStruct(shape2, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((ROWS, WIN), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(dump_keep.astype(jnp.int32).reshape(1), slot.reshape(shape2),
       xs.reshape(shape2), ys.reshape(shape2), pix.reshape(shape2), tables)
