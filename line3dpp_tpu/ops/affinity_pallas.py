@@ -49,13 +49,13 @@ def _kernel(nbr_ref, tab_ref, idx_ref, out_ref, *, sp: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _gather_impl(tables_fm, nbr_ids, idx_rows, interpret: bool = False):
-    V, F, Sp = tables_fm.shape
-    Vn, N = nbr_ids.shape
-    _, R, _ = idx_rows.shape                 # (V*N, R, 128) index rows
-    assert F == FEATS and Vn == V
+    V, F, Sp = tables_fm.shape               # V = GLOBAL view count
+    Vn, N = nbr_ids.shape                    # Vn = local (sharded) views
+    _, R, _ = idx_rows.shape                 # (Vn*N, R, 128) index rows
+    assert F == FEATS
     assert R % ROW_BLK == 0, R
     rc = R // ROW_BLK
-    grid = (V, N, rc)
+    grid = (Vn, N, rc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -76,10 +76,10 @@ def _gather_impl(tables_fm, nbr_ids, idx_rows, interpret: bool = False):
     out = pl.pallas_call(
         functools.partial(_kernel, sp=Sp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEATS, V * N, R, LANES),
+        out_shape=jax.ShapeDtypeStruct((FEATS, Vn * N, R, LANES),
                                        jnp.float32),
         interpret=interpret,
-    )(nbr_ids, tables_fm, idx_rows.reshape(V * N, R, LANES))
+    )(nbr_ids, tables_fm, idx_rows)
     return out
 
 
@@ -94,9 +94,10 @@ def gather_target_estimates(est_P1, est_P2, est_d1, est_d2, est_valid,
     (V, S, M) — exactly ``table[x][neighbor_ids -> view, tgt_seg]`` with
     invalid target estimates encoded as d1 < 0.
     """
-    V, S, M = tgt_seg.shape
+    V, S, M = tgt_seg.shape                  # V = local (source) views
     N = neighbor_ids.shape[1]
     assert M == N * knn
+    assert est_d1.shape[1] == S              # global tables, same S
 
     sp = -(-S // LANES) * LANES
     pad_s = sp - S

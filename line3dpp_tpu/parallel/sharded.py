@@ -99,6 +99,7 @@ def _local_step(
         fm, t_seg, nbr_local, k_local, median_local,
         med_scene, two_sig_a_sqr, min_affinity,
         tgt_est=tgt_est, k_table=k_reg, median_depth_table=median_all,
+        use_pallas=use_pallas,
     )
 
     return StepOutputs(

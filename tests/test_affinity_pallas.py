@@ -76,3 +76,28 @@ def test_affinity_dense_pallas_path(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(a.weight), np.asarray(b.weight),
                                rtol=1e-6, atol=1e-7)
     assert int(np.asarray(a.edge_valid).sum()) > 0
+
+
+def test_gather_sharded_global_tables(rng):
+    """Sharded case: local source views gather from GLOBAL estimate tables
+    (more views than the local shard)."""
+    est_P1, est_P2, est_d1, est_d2, est_valid, nbr, tgt_seg = _case(
+        rng, V=6, S=30, N=2, k=4)
+    # local shard = first 3 views' match tables; targets may be any view
+    Vl = 3
+    nbr_l = nbr[:Vl]
+    tgt_l = tgt_seg[:Vl]
+    k = tgt_seg.shape[2] // nbr.shape[1]
+
+    P1b, P2b, d1b, d2b, validb = affinity_pallas.gather_target_estimates(
+        jnp.asarray(est_P1), jnp.asarray(est_P2), jnp.asarray(est_d1),
+        jnp.asarray(est_d2), jnp.asarray(est_valid), jnp.asarray(nbr_l),
+        jnp.asarray(tgt_l), k, interpret=True)
+
+    S, M = tgt_l.shape[1], tgt_l.shape[2]
+    tview = np.repeat(nbr_l, k, axis=1)[:, None, :] * np.ones(
+        (Vl, S, M), int)
+    np.testing.assert_array_equal(np.asarray(P1b[0]),
+                                  est_P1[..., 0][tview, tgt_l])
+    np.testing.assert_array_equal(np.asarray(validb),
+                                  est_valid[tview, tgt_l])
