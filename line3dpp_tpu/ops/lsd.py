@@ -202,12 +202,14 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
     xs_c = (idx_used % wp).astype(jnp.float32)
     ys_c = (idx_used // wp).astype(jnp.float32)
     mag_c = jnp.where(cvalid, mag.reshape(-1)[safe_idx], 0.0)
-    return angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c
+    ang_c = jnp.where(cvalid, angle.reshape(-1)[safe_idx], _BIG_ANGLE)
+    return (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
+            ang_c)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc"))
-def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c,
+def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                link_tol, *, th: int, tw: int, c_cap: int, hw2: int,
                cc_iters: int, refine_iters: int, use_pallas_cc: bool):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
@@ -224,13 +226,22 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c,
     int_max = jnp.int32(2**31 - 1)
     p_nfa = ANG_TH / 180.0
     log_ntests = 2.5 * math.log10(float(hw2))           # (HW)^{5/2} tests
+    # region-angle alignment gate (lsd.cpp `isaligned`, used by the region
+    # grow at 1704-1754): pixels whose level-line angle deviates more than
+    # ANG_TH from the component's fitted axis are pruned at every gated
+    # refit.  Without it, pairwise-link chaining over-merges curved chains,
+    # the merged component fails density/NFA, and rounds 2-3 re-extract the
+    # SAME straight edge as several abutting fragments (round-2 diagnostic:
+    # 13% of the reference's surviving segments were only covered piecewise,
+    # with median fragment gap 1.3 px).
+    cos_gate = jnp.float32(math.cos(math.radians(ANG_TH)))
 
     if True:
         # --- connected components on the dense grid ---
         if use_pallas_cc:
             lab_d = lsd_cc.cc_tiles(angle, active_d, link_tol, tile=(th, tw))
-            T = lsd_cc.merge_tile_labels(lab_d, angle, active_d, link_tol,
-                                         tile=(th, tw))
+            T, _ = lsd_cc.merge_tile_labels(lab_d, angle, active_d,
+                                            link_tol, tile=(th, tw))
             lab_c = lab_d.reshape(-1)[safe_idx]
             lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max,
                               T[jnp.clip(lab_c, 0, HWp - 1)])
@@ -245,8 +256,8 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c,
         key = jnp.where(part, lab_c, int_max)
 
         # --- sort active pixels by component label; payloads ride along ---
-        key_s, xs_s, ys_s, mag_s, idx_s = jax.lax.sort(
-            (key, xs_c, ys_c, mag_c, idx_used), num_keys=1)
+        key_s, xs_s, ys_s, mag_s, ang_s, idx_s = jax.lax.sort(
+            (key, xs_c, ys_c, mag_c, ang_c, idx_used), num_keys=1)
         part_s = key_s < int_max
         new_run = part_s & jnp.concatenate(
             [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
@@ -326,16 +337,18 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c,
                 npix = mom[6]
                 tables = _tables(jnp.cos(theta), jnp.sin(theta), cx, cy,
                                  jnp.full((c_cap,), big))
-                ext, _ = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables,
-                                         jnp.bool_(True), c_cap)
+                ext, _ = lsd_fit.extents(slot, xs_s, ys_s, ang_s, pix_f,
+                                         tables, jnp.bool_(True),
+                                         jnp.float32(-2.0), c_cap)
                 return _finish_fit(cx, cy, theta, npix,
                                    ext[0], -ext[2], ext[1], -ext[3],
                                    dict(tables=tables))
 
             def gated_pix(f, gate_vec, pix_f, dump_keep):
                 tables = f["tables"].at[4, :c_cap].set(gate_vec)
-                _, newpix = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables,
-                                            jnp.bool_(dump_keep), c_cap)
+                _, newpix = lsd_fit.extents(slot, xs_s, ys_s, ang_s, pix_f,
+                                            tables, jnp.bool_(dump_keep),
+                                            cos_gate, c_cap)
                 return newpix
         else:
             # --- XLA fallback: segment reductions + monotone gathers ---
@@ -362,11 +375,14 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c,
                 return _finish_fit(cx, cy, theta, npix,
                                    seg_min(l_proj), seg_max(l_proj),
                                    seg_min(w_proj), seg_max(w_proj),
-                                   dict(w_proj=w_proj))
+                                   dict(w_proj=w_proj, ct_p=ct_p, st_p=st_p))
 
             def gated_pix(f, gate_vec, pix_f, dump_keep):
                 gate_p = expand(gate_vec, big if dump_keep else -1.0)
-                keep = jnp.abs(f["w_proj"]) <= gate_p
+                aligned = jnp.abs(jnp.cos(ang_s) * f["ct_p"]
+                                  + jnp.sin(ang_s) * f["st_p"]) >= cos_gate
+                keep = ((jnp.abs(f["w_proj"]) <= gate_p)
+                        & (aligned | (slot >= c_cap)))
                 return pix_f * keep.astype(jnp.float32)
 
         # density refinement (lsd.cpp `refine`/`reduce_region_radius`):
@@ -438,8 +454,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     (gradient/compaction, one shared round, output compaction) to keep
     remote compile times tractable."""
     h2, w2, th, tw, hp, wp, NC, c_cap = _lsd_statics(H, W, nc_scale)
-    (angle, used, used_count, idx_used, cvalid, xs_c, ys_c,
-     mag_c) = _grad_compact(img, H, W, nc_scale)
+    (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
+     ang_c) = _grad_compact(img, H, W, nc_scale)
 
     # round 1 links at the full 22.5° tolerance; later rounds re-cluster the
     # leftover pixels with tighter tolerances so smoothly-curving chains and
@@ -451,9 +467,10 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     diag = None
     for link_tol in (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]:
         segs_r, ok_r, active_d, diag = _lsd_round(
-            angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, link_tol,
-            th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2, cc_iters=cc_iters,
-            refine_iters=refine_iters, use_pallas_cc=use_pallas_cc)
+            angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
+            link_tol, th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
+            cc_iters=cc_iters, refine_iters=refine_iters,
+            use_pallas_cc=use_pallas_cc)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
 

@@ -186,19 +186,38 @@ def _border_links(lab, angle, active, tol, stride: int, axis: int):
     return jnp.concatenate(outs_a), jnp.concatenate(outs_b)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "iters"))
+@functools.partial(jax.jit, static_argnames=("tile", "iters", "link_cap"))
 def merge_tile_labels(lab, angle, active, tol,
-                      tile: tuple = (TILE_H, TILE_W), iters: int = 8):
+                      tile: tuple = (TILE_H, TILE_W), iters: int = 8,
+                      link_cap: int = 0):
     """Resolve cross-tile components: build the border-link graph, run
     hook + pointer-jump union-find on compacted node ids, and return a
-    dense old-root -> new-root map ``T`` (identity off the merged set).
-    Apply as ``T[lab_values]`` (guarding INVALID labels)."""
+    dense old-root -> new-root map ``T`` (identity off the merged set)
+    plus the valid-link count.  Apply as ``T[lab_values]`` (guarding
+    INVALID labels).
+
+    ``link_cap > 0`` compacts the link slots (typically ~85% are invalid:
+    only aligned active pixel pairs link) before the union-find loop, which
+    shrinks every gather/scatter in the hot ``iters`` loop by ~4x.  The
+    caller must check ``n_valid <= link_cap`` — links beyond the cap are
+    dropped (components would fragment) and the detection must be re-run
+    uncompacted, exactly like the active-pixel cap in ops/lsd.py detect().
+    """
     hp, wp = lab.shape
     ha, hb = _border_links(lab, angle, active, tol, tile[0], 0)
     va, vb = _border_links(lab, angle, active, tol, tile[1], 1)
     la = jnp.concatenate([ha, va])
     lb = jnp.concatenate([hb, vb])
     valid = (la != INVALID) & (lb != INVALID)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    if link_cap:
+        L = la.shape[0]
+        sel = jnp.nonzero(valid, size=link_cap, fill_value=L)[0]
+        ok = sel < L
+        sel_s = jnp.minimum(sel, L - 1)
+        la = jnp.where(ok, la[sel_s], INVALID)
+        lb = jnp.where(ok, lb[sel_s], INVALID)
+        valid = ok
     # every distinct node id appears in some link, so 2L bounds the node
     # count; unique() at that size can never truncate
     node_cap = max(1024, 1 << (2 * max(la.shape[0], 1) - 1).bit_length())
@@ -231,4 +250,4 @@ def merge_tile_labels(lab, angle, active, tol,
     T = jnp.arange(hp * wp, dtype=jnp.int32)
     T = T.at[jnp.where(node_ok, nodes, hp * wp)].set(
         jnp.where(node_ok, root_pix, 0), mode="drop")
-    return T
+    return T, n_valid

@@ -113,14 +113,20 @@ def moments(slot, xs, ys, mag, pix, c_cap: int, interpret: bool = False):
     return out[:, :c_cap]
 
 
-def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
-                   ext_ref, newpix_ref, win_ref, dma_sem, *, c_cap: int):
+def _extent_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
+                   tab_ref, ext_ref, newpix_ref, win_ref, dma_sem,
+                   *, c_cap: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         ext_ref[:] = jnp.full_like(ext_ref, BIG)
 
     lo = _tile_window_lo(slot_ref[:], c_cap)
-    dump_keep = dump_ref[0] != 0       # pix value for dump pixels in newpix
+    dump_keep = scal_ref[0] != 0.0     # pix value for dump pixels in newpix
+    # region-angle gate (lsd.cpp `isaligned`): keep a pixel only when its
+    # level-line angle is within the tolerance of the component's fitted
+    # axis, orientation-free: |cos(a - theta)| >= cos_tol.  cos_tol <= -1
+    # disables the gate.
+    cos_tol = scal_ref[1]
 
     # the full feature table (8, c_cap+WIN) would not fit VMEM next to the
     # extents accumulator; it stays in HBM and only the tile's 128-aligned
@@ -164,7 +170,10 @@ def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
             m = jnp.where(ON, jnp.broadcast_to(v, ON.shape), BIG)
             return jnp.minimum(col, jnp.min(m, axis=1, keepdims=True))
 
-        keep = (pix_r != 0.0) & (jnp.abs(w_proj) <= gate)
+        ang_r = ang_ref[pl.ds(r, 1), :]
+        aligned = jnp.abs(jnp.cos(ang_r) * ct
+                          + jnp.sin(ang_r) * st) >= cos_tol
+        keep = (pix_r != 0.0) & (jnp.abs(w_proj) <= gate) & aligned
         newpix_ref[pl.ds(r, 1), :] = jnp.where(
             msk_r, jnp.where(keep, 1.0, 0.0),
             jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))
@@ -190,15 +199,17 @@ def _extent_kernel(dump_ref, slot_ref, xs_ref, ys_ref, pix_ref, tab_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
-def extents(slot, xs, ys, pix, tables, dump_keep: jnp.ndarray,
-            c_cap: int, interpret: bool = False):
+def extents(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
+            cos_tol: jnp.ndarray, c_cap: int, interpret: bool = False):
     """Projection extents + gated pixel mask update, one pass.
 
     ``tables`` is ``[8, c_cap + WIN]`` f32 with rows (cos t, sin t, cx, cy,
     gate, ...).  Returns ``(ext [8, c_cap], newpix [N])`` where ext rows are
     (lmin, wmin, -lmax(min of neg), -wmax) and
-    ``newpix = pix & (|w_proj| <= gate[slot])`` (dump pixels keep ``pix``
-    when ``dump_keep`` else drop).
+    ``newpix = pix & (|w_proj| <= gate[slot]) & aligned`` with
+    ``aligned = |cos(ang - theta[slot])| >= cos_tol`` (the lsd.cpp
+    `isaligned` region-angle test; pass ``cos_tol <= -1`` to disable).
+    Dump pixels keep ``pix`` when ``dump_keep`` else drop.
     """
     n = slot.shape[0]
     assert n % TILE_N == 0, n
@@ -209,17 +220,19 @@ def extents(slot, xs, ys, pix, tables, dump_keep: jnp.ndarray,
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec((ROWS, c_cap + WIN), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
+    scal = jnp.stack([jnp.where(dump_keep, 1.0, 0.0).astype(jnp.float32),
+                      cos_tol.astype(jnp.float32)])
     ext, newpix = pl.pallas_call(
         functools.partial(_extent_kernel, c_cap=c_cap),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [blk] * 4 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [blk] * 5 + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(full, blk),
         out_shape=(jax.ShapeDtypeStruct((ROWS, c_cap + WIN), jnp.float32),
                    jax.ShapeDtypeStruct(shape2, jnp.float32)),
         scratch_shapes=[pltpu.VMEM((ROWS, WIN), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(dump_keep.astype(jnp.int32).reshape(1), slot.reshape(shape2),
-      xs.reshape(shape2), ys.reshape(shape2), pix.reshape(shape2), tables)
+    )(scal, slot.reshape(shape2), xs.reshape(shape2), ys.reshape(shape2),
+      ang.reshape(shape2), pix.reshape(shape2), tables)
     return ext[:, :c_cap], newpix.reshape(n)

@@ -33,9 +33,9 @@ def _labels_both_ways(angle, active, tol):
     lab_t = lsd_cc.cc_tiles(jnp.asarray(angle), jnp.asarray(active),
                             jnp.float32(tol), tile=TILE, max_iters=512,
                             interpret=True)
-    T = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
-                                 jnp.asarray(active), jnp.float32(tol),
-                                 tile=TILE)
+    T, _ = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
+                                    jnp.asarray(active), jnp.float32(tol),
+                                    tile=TILE)
     lab_merged = np.asarray(jnp.where(
         lab_t == lsd_cc.INVALID, lsd_cc.INVALID,
         T[jnp.clip(lab_t, 0, T.shape[0] - 1)]))

@@ -57,36 +57,42 @@ def test_extents_kernel(rng):
     tables[3, :c_cap] = cy
     tables[4, :c_cap] = gate
 
+    ang = rng.uniform(-np.pi, np.pi, len(slot)).astype(np.float32)
     for dump_keep in (True, False):
-        ext, newpix = lsd_fit.extents(
-            jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
-            jnp.asarray(pix), jnp.asarray(tables), jnp.bool_(dump_keep),
-            c_cap, interpret=True)
-        ext, newpix = np.asarray(ext), np.asarray(newpix)
+        for cos_tol in (-2.0, float(np.cos(np.radians(22.5)))):
+            ext, newpix = lsd_fit.extents(
+                jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+                jnp.asarray(ang), jnp.asarray(pix), jnp.asarray(tables),
+                jnp.bool_(dump_keep), jnp.float32(cos_tol),
+                c_cap, interpret=True)
+            ext, newpix = np.asarray(ext), np.asarray(newpix)
 
-        # reference per-pixel projections
-        ct, st = np.cos(theta), np.sin(theta)
-        sc = np.minimum(slot, c_cap - 1)
-        dxp = xs - cx[sc]
-        dyp = ys - cy[sc]
-        l_proj = dxp * ct[sc] + dyp * st[sc]
-        w_proj = -dxp * st[sc] + dyp * ct[sc]
+            # reference per-pixel projections
+            ct, st = np.cos(theta), np.sin(theta)
+            sc = np.minimum(slot, c_cap - 1)
+            dxp = xs - cx[sc]
+            dyp = ys - cy[sc]
+            l_proj = dxp * ct[sc] + dyp * st[sc]
+            w_proj = -dxp * st[sc] + dyp * ct[sc]
 
-        want_ext = np.full((4, c_cap), lsd_fit.BIG, np.float32)
-        for c in range(c_cap):
-            m = (slot == c) & (pix != 0)
-            if m.any():
-                want_ext[0, c] = l_proj[m].min()
-                want_ext[1, c] = w_proj[m].min()
-                want_ext[2, c] = (-l_proj[m]).min()
-                want_ext[3, c] = (-w_proj[m]).min()
-        np.testing.assert_allclose(ext[:4], want_ext, rtol=1e-4, atol=1e-2)
+            want_ext = np.full((4, c_cap), lsd_fit.BIG, np.float32)
+            for c in range(c_cap):
+                m = (slot == c) & (pix != 0)
+                if m.any():
+                    want_ext[0, c] = l_proj[m].min()
+                    want_ext[1, c] = w_proj[m].min()
+                    want_ext[2, c] = (-l_proj[m]).min()
+                    want_ext[3, c] = (-w_proj[m]).min()
+            np.testing.assert_allclose(ext[:4], want_ext,
+                                       rtol=1e-4, atol=1e-2)
 
-        want_pix = np.where(
-            slot < c_cap,
-            pix * (np.abs(w_proj) <= gate[sc]),
-            pix if dump_keep else 0.0).astype(np.float32)
-        np.testing.assert_array_equal(newpix, want_pix)
+            aligned = (np.abs(np.cos(ang) * ct[sc] + np.sin(ang) * st[sc])
+                       >= cos_tol)
+            want_pix = np.where(
+                slot < c_cap,
+                pix * ((np.abs(w_proj) <= gate[sc]) & aligned),
+                pix if dump_keep else 0.0).astype(np.float32)
+            np.testing.assert_array_equal(newpix, want_pix)
 
 
 def test_core_pallas_path_matches_xla(rng):
