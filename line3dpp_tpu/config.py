@@ -32,6 +32,15 @@ class Config:
     sigma_p: float = 2.5               # px if > 0, metric (world units) if < 0
     sigma_a: float = 10.0              # degrees
     check_match_orientation: bool = True
+    # back-edge policy for the symmetrized match graph.  The reference
+    # propagates inverse matches only *forward* in its sequential view loop
+    # (storeInverseMatches line3D.cc:1672-1699 gates on !processed_[tgt]):
+    # a view inherits candidates from earlier-processed views, never from
+    # later ones.  "ordered" reproduces that by back-matching j->i only when
+    # i precedes j in camID order; "full" symmetrizes both directions (the
+    # round-1/2 behavior, a denser graph that over-merges near-duplicate
+    # parallel lines); "none" keeps the raw neighbor lists only.
+    match_symmetrization: str = "ordered"
 
     # --- scoring (reference: commons.h:59-61) ---
     min_similarity_3d: float = 0.50

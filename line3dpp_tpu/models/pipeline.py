@@ -148,18 +148,27 @@ class Line3D:
 
         # visual neighbors -> (V, N) neighbor table + pair validity.
         # The relation is symmetrized: the reference propagates every match
-        # back to the target view (storeInverseMatches, line3D.cc:1672-1699),
-        # so a view's match table covers pairs where it is the *target* too.
+        # back to the target view (storeInverseMatches, line3D.cc:1672-1699).
+        # That propagation is order-gated (!processed_[tgt]): a view only
+        # inherits matches from views processed BEFORE it (ascending camID),
+        # never from later ones — so back-edges j->i exist only when i
+        # precedes j.  "full" symmetrization (both directions uncondition-
+        # ally) yields a denser graph that over-merges near-duplicate
+        # parallel 3D lines in clustering.
         nbr_lists = self._visual_neighbors(cam_ids, cams, N)
         nbr_sets: dict[int, list[int]] = {
             c: [id2idx[n] for n in nbr_lists[c] if n in id2idx][:N]
             for c in cam_ids
         }
-        for i, c in enumerate(cam_ids):
-            for j in nbr_sets[c]:
-                back = nbr_sets[cam_ids[j]]
-                if i not in back:
-                    back.append(i)
+        sym = cfg.match_symmetrization
+        if sym not in ("full", "ordered", "none"):
+            raise ValueError(f"match_symmetrization={sym!r}")
+        if sym != "none":
+            for i, c in enumerate(cam_ids):
+                for j in nbr_sets[c]:
+                    back = nbr_sets[cam_ids[j]]
+                    if i not in back and (sym == "full" or i < j):
+                        back.append(i)
         N = max(N, max((len(v) for v in nbr_sets.values()), default=N))
         neighbor_ids = np.zeros((V, N), np.int32)
         pair_valid = np.zeros((V, N), bool)
@@ -249,6 +258,7 @@ class Line3D:
             r1=r1, r2=r2, t_seg=out.tgt_seg, aff=aff,
             fm=fm, median_depth=median_depth,
             med_scene_depth=med_scene_depth, fixed_reg=fixed_reg,
+            score3d=out.score3d,
         )
 
     def _match_images_blocked(self, cam_ids, cams, translation, cb, segs,
