@@ -55,6 +55,12 @@ class Config:
     min_affinity: float = 0.50
     visibility_t: int = 3
     felzenszwalb_c: float = 3.0        # adaptive threshold constant (line3D.cc:2089)
+    # split clusters whose member hypotheses are bimodal across the fitted
+    # line by >= this many sigma (pixel-equivalent k*depth units); close
+    # parallel structure lines otherwise merge through estimate noise
+    # (no reference counterpart — see pipeline._split_bimodal_clusters).
+    # <= 0 disables.
+    split_bimodal_t: float = 1.5
 
     # --- bundling / optimization (reference: commons.h:83-88) ---
     optimize: bool = True              # batched LM line bundling (Ceres-equivalent)

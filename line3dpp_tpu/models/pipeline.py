@@ -14,6 +14,7 @@ neighbor graphs, cluster lists).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import numpy as np
@@ -510,6 +511,15 @@ class Line3D:
         line_dir = lineP2 - lineP1
         line_dir /= np.maximum(np.linalg.norm(line_dir, axis=-1, keepdims=True), EPS)
 
+        # split clusters whose member hypotheses are bimodal across the
+        # fitted line (close parallel structure lines merged by noisy
+        # estimates; see tools/diag_bridge_geometry.py) — the reference's
+        # sharper estimates keep these apart in the graph itself
+        if cfg.split_bimodal_t > 0:
+            mc, C, lineP1, lineP2, line_dir = self._split_bimodal_clusters(
+                mc, mv, ms, C, lineP1, line_dir, estP1, estP2, st,
+                visibility, cfg.split_bimodal_t)
+
         # optional bundling of the cluster lines (reference: optimization.cc)
         if cfg.optimize:
             lineP1, lineP2, line_dir = self._optimize_lines(
@@ -571,6 +581,105 @@ class Line3D:
 
         self.lines3d = lines_out
         return lines_out
+
+    # ------------------------------------------------------------------
+    def _split_bimodal_clusters(self, mc, mv, ms, C, lineP1, line_dir,
+                                estP1, estP2, st, visibility, gap_t,
+                                max_depth: int = 2):
+        """Split clusters whose members are bimodal in signed perpendicular
+        offset from the fitted 3D line (in sigma = k * depth units, the
+        affinity's pixel-equivalent scale).
+
+        Close parallel structure lines (median separation ~3.8 px on the
+        golden testdata) merge when triangulation noise smears the best
+        hypotheses toward each other; the merged cluster's members still
+        carry the side information in their perpendicular offsets.  A
+        cluster is split at the largest inter-member gap when that gap is
+        >= ``gap_t`` sigma and BOTH sides retain >= ``visibility`` distinct
+        cameras (a failed side would be dropped by the reference's
+        visibility filter anyway, so we keep the cluster whole instead).
+        No reference counterpart: this compensates estimate-noise relative
+        to the reference (tools/diag_smear_cases.py), not a new feature.
+        """
+        from ..ops import fitting as fitting_ops
+
+        k_reg = np.asarray(st["cb"].k_reg)
+        cam_C = np.asarray(st["cb"].C)
+        med_d = np.asarray(st["median_depth"])
+
+        pm = 0.5 * (estP1[mv, ms] + estP2[mv, ms])         # (m, 3) midpoints
+        depth = np.linalg.norm(pm - cam_C[mv], axis=1)
+        sigma = np.maximum(k_reg[mv] * np.minimum(depth, med_d[mv]), EPS)
+
+        order = np.argsort(mc, kind="stable")
+        bounds = np.searchsorted(mc[order], np.arange(C + 1))
+
+        new_mc = mc.copy()
+        lineP2 = lineP1 + 2.0 * line_dir       # fit convention: cog +- dir
+        next_id = C
+        dbg = {"small": 0, "delta": 0, "vis": 0, "split": 0}
+        stack = [(c, order[bounds[c]: bounds[c + 1]], 0) for c in range(C)]
+        while stack:
+            c, idx, depth_lvl = stack.pop()
+            if len(idx) < 4 or depth_lvl >= max_depth:
+                dbg["small"] += depth_lvl == 0
+                continue
+            d = line_dir[c]
+            w = pm[idx] - lineP1[c]
+            perp = w - (w @ d)[:, None] * d[None, :]
+            # principal perpendicular axis of this cluster's offsets
+            cov = perp.T @ perp
+            _, vecs = np.linalg.eigh(cov)
+            u = vecs[:, -1]
+            s = (perp @ u) / sigma[idx]
+            o2 = np.argsort(s)
+            ss = s[o2]
+            n = len(ss)
+            # Otsu-style 2-means: split maximizing between-class variance;
+            # accept when the mode-mean separation >= gap_t sigma (a
+            # unimodal Gaussian yields ~1.6 std < gap_t, so pure noise
+            # does not split)
+            csum = np.cumsum(ss)
+            kk = np.arange(1, n)
+            mean_lo = csum[:-1] / kk
+            mean_hi = (csum[-1] - csum[:-1]) / (n - kk)
+            delta = mean_hi - mean_lo
+            bcv = kk * (n - kk) * delta * delta
+            g = int(np.argmax(bcv))
+            if delta[g] < gap_t:
+                dbg["delta"] += 1
+                continue
+            lo, hi = idx[o2[: g + 1]], idx[o2[g + 1:]]
+            if (len(np.unique(mv[lo])) < visibility
+                    or len(np.unique(mv[hi])) < visibility):
+                dbg["vis"] += 1
+                continue
+            dbg["split"] += 1
+            # split: high side becomes a new cluster; refit both
+            new_mc[hi] = next_id
+            for part in (lo, hi):
+                pts_p = np.concatenate([estP1[mv[part], ms[part]],
+                                        estP2[mv[part], ms[part]]], axis=0)
+                lf = fitting_ops.fit_lines_np(
+                    pts_p, np.zeros(len(pts_p), np.int32), 1)
+                P1p, P2p = np.asarray(lf.P1)[0], np.asarray(lf.P2)[0]
+                dp = P2p - P1p
+                dp /= max(np.linalg.norm(dp), EPS)
+                cid = c if part is lo else next_id
+                if cid == next_id:
+                    lineP1 = np.concatenate([lineP1, P1p[None]], axis=0)
+                    lineP2 = np.concatenate([lineP2, P2p[None]], axis=0)
+                    line_dir = np.concatenate([line_dir, dp[None]], axis=0)
+                else:
+                    lineP1[cid] = P1p
+                    lineP2[cid] = P2p
+                    line_dir[cid] = dp
+                stack.append((cid, part, depth_lvl + 1))
+            next_id += 1
+
+        if os.environ.get("L3D_SPLIT_DEBUG"):
+            print(f"[L3D-TPU] bimodal split: {dbg}", flush=True)
+        return new_mc, next_id, lineP1, lineP2, line_dir
 
     # ------------------------------------------------------------------
     def _optimize_lines(self, lineP1, lineP2, mc, mv, ms, C, st):

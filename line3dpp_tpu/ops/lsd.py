@@ -208,10 +208,12 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc"))
+    "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
+    "link_cap"))
 def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                link_tol, *, th: int, tw: int, c_cap: int, hw2: int,
-               cc_iters: int, refine_iters: int, use_pallas_cc: bool):
+               cc_iters: int, refine_iters: int, use_pallas_cc: bool,
+               link_cap: int = 0):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  All three annealed rounds share
     this single compiled program (the link tolerance is a traced scalar;
@@ -240,12 +242,14 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         # --- connected components on the dense grid ---
         if use_pallas_cc:
             lab_d = lsd_cc.cc_tiles(angle, active_d, link_tol, tile=(th, tw))
-            T, _ = lsd_cc.merge_tile_labels(lab_d, angle, active_d,
-                                            link_tol, tile=(th, tw))
+            T, link_count = lsd_cc.merge_tile_labels(
+                lab_d, angle, active_d, link_tol, tile=(th, tw),
+                link_cap=link_cap)
             lab_c = lab_d.reshape(-1)[safe_idx]
             lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max,
                               T[jnp.clip(lab_c, 0, HWp - 1)])
         else:
+            link_count = jnp.int32(0)
             lab_d = _connected_components(angle, active_d, link_tol,
                                           n_iters=cc_iters)
             lab_c = lab_d.reshape(-1)[safe_idx]
@@ -432,13 +436,15 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         ey2 = (cy + f["lmax"] * jnp.sin(theta)) / SCALE
         segs = jnp.stack([ex1, ey1, ex2, ey2], axis=-1)
         diag = dict(npix=f["npix"], density=f["density"], log_nfa=log_nfa,
-                    length=f["length"], width=f["width"], ncomp=ncomp)
+                    length=f["length"], width=f["width"], ncomp=ncomp,
+                    link_count=link_count)
         return segs, ok, active_next, diag
 
 
 def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
-              use_pallas_cc: bool = False, nc_scale: float = 0.62):
+              use_pallas_cc: bool = False, nc_scale: float = 0.62,
+              use_link_cap: bool = True):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -461,22 +467,29 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     # leftover pixels with tighter tolerances so smoothly-curving chains and
     # corner blobs (where the pairwise-link formulation over-merges relative
     # to LSD's region-angle test) split into straight pieces.
+    from . import lsd_cc
+
     prec_f = jnp.float32(math.radians(ANG_TH))
     active_d = used
-    all_segs, all_ok = [], []
+    link_cap = (lsd_cc.auto_link_cap((hp, wp), (th, tw))
+                if (use_link_cap and use_pallas_cc) else 0)
+    all_segs, all_ok, link_counts = [], [], []
     diag = None
     for link_tol in (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]:
         segs_r, ok_r, active_d, diag = _lsd_round(
             angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             link_tol, th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
-            use_pallas_cc=use_pallas_cc)
+            use_pallas_cc=use_pallas_cc, link_cap=link_cap)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
+        link_counts.append(diag["link_count"])
 
     segs = jnp.concatenate(all_segs, axis=0)
     ok = jnp.concatenate(all_ok, axis=0)
-    diag = dict(diag, used_count=used_count, nc_cap=NC, c_cap=c_cap)
+    diag = dict(diag, used_count=used_count, nc_cap=NC, c_cap=c_cap,
+                link_count=jnp.max(jnp.stack(link_counts)),
+                link_cap=link_cap)
     return segs, ok, diag
 
 
@@ -590,15 +603,25 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
 
     H, W = img.shape
     use_pallas_cc = jax.default_backend() == "tpu"
-    segs, ok, n_ok, used_count, nc_cap = _detect_compact(
-        jnp.asarray(img), H, W, use_pallas_cc)
+    segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = \
+        _detect_compact(jnp.asarray(img), H, W, use_pallas_cc)
+    if link_cap and int(link_count) > link_cap:
+        # border-link cap overflow: merged components would fragment —
+        # re-run with the link compaction disabled (lsd_cc.merge_tile_labels)
+        print(f"[L3D-TPU] LSD: {int(link_count)} border links exceed the "
+              f"{link_cap} compaction cap; re-running uncompacted",
+              flush=True)
+        segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = \
+            _detect_compact(jnp.asarray(img), H, W, use_pallas_cc,
+                            use_link_cap=False)
     if int(used_count) > nc_cap:
         # active-pixel cap overflow (extremely textured image): re-run with
         # compaction disabled rather than silently dropping pixels
         print(f"[L3D-TPU] LSD: {int(used_count)} active pixels exceed the "
               f"{nc_cap} compaction cap; re-running uncompacted", flush=True)
-        segs, ok, n_ok, used_count, _ = _detect_compact(
-            jnp.asarray(img), H, W, use_pallas_cc, nc_scale=1.0)
+        segs, ok, n_ok, used_count, *_ = _detect_compact(
+            jnp.asarray(img), H, W, use_pallas_cc, nc_scale=1.0,
+            use_link_cap=False)
     if int(n_ok) > _MAX_RAW_SEGMENTS:
         print(f"[L3D-TPU] warning: {int(n_ok)} raw segments exceed the "
               f"{_MAX_RAW_SEGMENTS} transfer cap; weakest are dropped",
@@ -616,15 +639,17 @@ _MAX_RAW_SEGMENTS = 32768
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
-                                              "nc_scale"))
+                                              "nc_scale", "use_link_cap"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
-                    use_pallas_cc: bool = False, nc_scale: float = 0.62):
+                    use_pallas_cc: bool = False, nc_scale: float = 0.62,
+                    use_link_cap: bool = True):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
     segs, ok, diag = _lsd_core(img, H, W, use_pallas_cc=use_pallas_cc,
-                               nc_scale=nc_scale)
+                               nc_scale=nc_scale, use_link_cap=use_link_cap)
     idx = jnp.nonzero(ok, size=_MAX_RAW_SEGMENTS, fill_value=-1)[0]
     valid = idx >= 0
     return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),
-            diag["used_count"], diag["nc_cap"])
+            diag["used_count"], diag["nc_cap"], diag["link_count"],
+            diag["link_cap"])

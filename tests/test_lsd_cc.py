@@ -66,6 +66,35 @@ def test_crosses_tile_borders():
     assert (counts > 5).sum() == 5
 
 
+def test_link_cap_compaction():
+    """Compacted border links (link_cap) must reproduce the uncompacted
+    merge exactly while reporting the valid-link count; an overflowing cap
+    is detectable via n_valid > cap (detect() then re-runs uncompacted)."""
+    H, W = 16, 256
+    angle = np.full((H, W), 99.0, np.float32)
+    active = np.zeros((H, W), bool)
+    _draw_line(angle, active, 10, 3, 245, 3, 0.3)
+    _draw_line(angle, active, 200, 1, 200, 14, 1.4)
+    tol = jnp.float32(math.radians(22.5))
+
+    lab_t = lsd_cc.cc_tiles(jnp.asarray(angle), jnp.asarray(active), tol,
+                            tile=TILE, max_iters=512, interpret=True)
+    T0, n0 = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
+                                      jnp.asarray(active), tol, tile=TILE)
+    cap = lsd_cc.auto_link_cap((H, W), TILE)
+    Tc, nc = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
+                                      jnp.asarray(active), tol, tile=TILE,
+                                      link_cap=cap)
+    assert int(n0) == int(nc) and int(nc) <= cap
+    np.testing.assert_array_equal(np.asarray(T0), np.asarray(Tc))
+
+    # overflow detection: a 1-link cap cannot hold all valid links
+    _, n1 = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
+                                     jnp.asarray(active), tol, tile=TILE,
+                                     link_cap=1)
+    assert int(n1) > 1
+
+
 def test_angle_tolerance_splits(rng):
     """Neighboring pixels with misaligned angles must stay separate
     components in both implementations."""

@@ -11,6 +11,7 @@ Usage:  PYTHONPATH=/root/.axon_site:/root/repo python tools/run_testdata.py [--c
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -49,8 +50,12 @@ def main():
     optimize = "--optimize" in sys.argv
     block = next((int(a.split("=")[1]) for a in sys.argv
                   if a.startswith("--block=")), -1)
+    split = next((float(a.split("=")[1]) for a in sys.argv
+                  if a.startswith("--split=")), None)
     cams = json.load(open(CAMS))
     cfg = l3d.Config(optimize=optimize, view_block=block)
+    if split is not None:
+        cfg = dataclasses.replace(cfg, split_bimodal_t=split)
     pipe = l3d.Line3D(cfg)
 
     t0 = time.time()
