@@ -51,6 +51,11 @@ class Line3D:
         self._fixed_neighbors: dict[int, list[int]] = {}
         self.lines3d: list[FinalLine3D] = []
         self._last_state: dict = {}
+        # opt-in split diagnostics: set to [] before reconstruct to collect
+        # per-candidate records (tools/diag_split_quality.py)
+        self._split_records: list | None = None
+        # opt-in cluster-fate diagnostics (tools/diag_lost_clusters.py)
+        self._cluster_records: list | None = None
 
     # ------------------------------------------------------------------
     # phase 1: view ingestion (reference: addImage line3D.cc:112-227)
@@ -496,6 +501,13 @@ class Line3D:
         mv = node_view[member_ok]
         ms = node_seg[member_ok]
         C = int(keep_cluster.sum())
+        if self._cluster_records is not None:
+            # opt-in diagnostics: record the visibility-dropped clusters
+            # (tools/diag_lost_clusters.py)
+            for lab in np.where(~keep_cluster)[0]:
+                mem = nodes[label_inv == lab]
+                self._cluster_records.append(
+                    {"outcome": "visibility", "nodes": mem.copy()})
         if C == 0:
             self.lines3d = []
             return self.lines3d
@@ -556,7 +568,16 @@ class Line3D:
         order = np.argsort(mc, kind="stable")
         bounds = np.searchsorted(mc[order], np.arange(C + 1))
         for c in range(C):
+            members_c = order[bounds[c]: bounds[c + 1]]
+            if self._cluster_records is not None:
+                rec_c = {"outcome": "emitted",
+                         "nodes": (mv[members_c].astype(np.int64) * S
+                                   + ms[members_c]),
+                         "line_idx": len(lines_out)}
+                self._cluster_records.append(rec_c)
             if not intervals[c]:
+                if self._cluster_records is not None:
+                    rec_c["outcome"] = "sweep-empty"
                 continue
             cam = cams[ref_view[c]]
             min_len = cam.diagonal * cfg.min_line_length_factor
@@ -571,6 +592,8 @@ class Line3D:
                 if np.linalg.norm(uv[0] - uv[1]) > min_len:
                     segs3d.append(np.concatenate([Pa, Pb]))
             if not segs3d:
+                if self._cluster_records is not None:
+                    rec_c["outcome"] = "tiny"
                 continue
             members = order[bounds[c] : bounds[c + 1]]
             residuals = np.zeros((len(members), 6))
@@ -617,7 +640,7 @@ class Line3D:
         new_mc = mc.copy()
         lineP2 = lineP1 + 2.0 * line_dir       # fit convention: cog +- dir
         next_id = C
-        dbg = {"small": 0, "delta": 0, "vis": 0, "split": 0}
+        dbg = {"small": 0, "delta": 0, "ashman": 0, "vis": 0, "split": 0}
         stack = [(c, order[bounds[c]: bounds[c + 1]], 0) for c in range(C)]
         while stack:
             c, idx, depth_lvl = stack.pop()
@@ -640,14 +663,38 @@ class Line3D:
             # unimodal Gaussian yields ~1.6 std < gap_t, so pure noise
             # does not split)
             csum = np.cumsum(ss)
+            csq = np.cumsum(ss * ss)
             kk = np.arange(1, n)
             mean_lo = csum[:-1] / kk
             mean_hi = (csum[-1] - csum[:-1]) / (n - kk)
             delta = mean_hi - mean_lo
             bcv = kk * (n - kk) * delta * delta
             g = int(np.argmax(bcv))
+            rec = None
+            if self._split_records is not None and delta[g] >= 0.5:
+                lo_r, hi_r = idx[o2[: g + 1]], idx[o2[g + 1:]]
+                var_lo_r = csq[g] / (g + 1) - mean_lo[g] ** 2
+                var_hi_r = (csq[-1] - csq[g]) / (n - g - 1) - mean_hi[g] ** 2
+                rec = {"delta": float(delta[g]),
+                       "D": float(delta[g] / max(np.sqrt(
+                           0.5 * (var_lo_r + var_hi_r)), EPS)),
+                       "n": n, "lvl": depth_lvl,
+                       "lo": (mv[lo_r].copy(), ms[lo_r].copy()),
+                       "hi": (mv[hi_r].copy(), ms[hi_r].copy()),
+                       "applied": False}
+                self._split_records.append(rec)
             if delta[g] < gap_t:
                 dbg["delta"] += 1
+                continue
+            # Ashman's D: the modes must also be separated relative to
+            # their within-mode spread (D >= 2 ~ clean bimodality); a
+            # smeared unimodal cluster can reach delta ~1.6 std but its
+            # within-mode variance stays high, failing this gate
+            var_lo = csq[g] / (g + 1) - mean_lo[g] ** 2
+            var_hi = ((csq[-1] - csq[g]) / (n - g - 1) - mean_hi[g] ** 2)
+            D = delta[g] / max(np.sqrt(0.5 * (var_lo + var_hi)), EPS)
+            if D < 2.0:
+                dbg["ashman"] += 1
                 continue
             lo, hi = idx[o2[: g + 1]], idx[o2[g + 1:]]
             if (len(np.unique(mv[lo])) < visibility
@@ -655,6 +702,8 @@ class Line3D:
                 dbg["vis"] += 1
                 continue
             dbg["split"] += 1
+            if rec is not None:
+                rec["applied"] = True
             # split: high side becomes a new cluster; refit both
             new_mc[hi] = next_id
             for part in (lo, hi):

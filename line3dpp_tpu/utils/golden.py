@@ -105,12 +105,20 @@ def line_match_metrics(
     """One-to-one line-level matching between two sets of 3D lines.
 
     Each line is an (n, 6) array of 3D segments.  A golden line can be
-    claimed by at most ONE predicted line (greedy, by descending coverage),
-    and counts as matched when that single prediction covers >=
-    ``coverage_t`` of its length within ``tol``.  Unlike the
-    length-weighted set metrics, this penalizes granularity mismatches: a
-    prediction that merges three golden lines can match only one of them
-    (VERDICT round-1 weak item 3: 1511 emitted vs 2489 golden lines).
+    claimed by at most ONE predicted line and counts as matched when that
+    single prediction covers >= ``coverage_t`` of its length within
+    ``tol``.  Unlike the length-weighted set metrics, this penalizes
+    granularity mismatches: a prediction that merges three golden lines
+    can match only one of them (VERDICT round-1 weak item 3: 1511 emitted
+    vs 2489 golden lines).
+
+    The assignment is a MAXIMUM bipartite matching (augmenting paths over
+    the cov >= coverage_t incidence graph, greedy-seeded).  In dense
+    bundles of near-identical parallel golden lines (separation < tol,
+    common on the testdata facades) many goldens and preds mutually cover
+    each other; the previous greedy-by-coverage assignment left ~4% of
+    matchable goldens unmatched purely through assignment order (measured:
+    1958 vs 2067 matched on identical round-2 outputs).
 
     Returns count_recall (matched golden / golden), count_precision
     (claiming preds / preds) and count_f1.
@@ -141,20 +149,57 @@ def line_match_metrics(
         np.add.at(cov[:, j], Gi, Wt * (d < tol))
     cov /= np.maximum(tot[:, None], 1e-12)
 
-    # greedy one-to-one assignment by descending coverage
-    matched_g = np.zeros(n_g, bool)
-    used_p = np.zeros(n_p, bool)
+    # maximum one-to-one assignment: greedy seed by descending coverage,
+    # then augmenting paths (iterative DFS) to optimality
+    match_of_g = np.full(n_g, -1, np.int64)      # golden i -> pred j
+    match_of_p = np.full(n_p, -1, np.int64)      # pred j -> golden i
     order = np.argsort(-cov, axis=None)
     for flat in order:
         i, j = divmod(int(flat), n_p)
         if cov[i, j] < coverage_t:
             break
-        if not matched_g[i] and not used_p[j]:
-            matched_g[i] = True
-            used_p[j] = True
+        if match_of_g[i] < 0 and match_of_p[j] < 0:
+            match_of_g[i] = j
+            match_of_p[j] = i
+    adj = [np.where(cov[i] >= coverage_t)[0] for i in range(n_g)]
 
-    count_recall = float(matched_g.mean())
-    count_precision = float(used_p.sum() / n_p)
+    def _augment(start: int) -> bool:
+        # iterative DFS for an augmenting path from unmatched golden `start`
+        seen = set()
+        stack = [(start, 0)]
+        parent: dict[int, tuple[int, int]] = {}   # pred j -> (golden, prev j)
+        while stack:
+            gi, ptr = stack.pop()
+            a = adj[gi]
+            while ptr < len(a):
+                j = int(a[ptr])
+                ptr += 1
+                if j in seen:
+                    continue
+                seen.add(j)
+                parent[j] = (gi, ptr)
+                owner = int(match_of_p[j])
+                if owner < 0:
+                    # augment: flip the path back to start
+                    while True:
+                        gi2, _ = parent[j]
+                        prev = int(match_of_g[gi2])
+                        match_of_g[gi2] = j
+                        match_of_p[j] = gi2
+                        if gi2 == start:
+                            return True
+                        j = prev
+                stack.append((gi, ptr))
+                stack.append((owner, 0))
+                break
+        return False
+
+    for i in range(n_g):
+        if match_of_g[i] < 0 and len(adj[i]):
+            _augment(i)
+
+    count_recall = float((match_of_g >= 0).mean())
+    count_precision = float((match_of_p >= 0).sum() / n_p)
     f1 = (2 * count_recall * count_precision
           / max(count_recall + count_precision, 1e-12))
     return {"count_recall": count_recall, "count_precision": count_precision,

@@ -38,3 +38,29 @@ def test_below_coverage_threshold_not_matched():
 def test_empty_sets():
     m = line_match_metrics([], [_line([0, 0, 0], [1, 0, 0])], tol=0.1)
     assert m["count_f1"] == 0.0
+
+
+def test_maximum_matching_beats_greedy():
+    # dense-bundle case: pred X covers goldens A and B, pred Y covers only A.
+    # Greedy-by-coverage assigns X->A (highest cov) and strands B; the
+    # maximum matching augments to A->Y, B->X so both goldens match.
+    gold = [_line([0, 0, 0], [10, 0, 0]),        # A
+            _line([0, 1.98, 0], [10, 1.98, 0])]  # B
+    pred = [_line([0, 0.99, 0], [10, 0.99, 0]),      # X: within 1.0 of both
+            _line([0.5, -0.99, 0], [10, -0.99, 0])]  # Y: covers A at ~0.875
+    m = line_match_metrics(pred, gold, tol=1.0)
+    assert m["count_recall"] == 1.0 and m["count_precision"] == 1.0
+
+
+def test_augmenting_path_chain():
+    # chain of length 3: p0 covers g0; p1 covers g0,g1; p2 covers g1,g2.
+    # A bad seed (p1->g0, p2->g1) must still augment to the perfect matching.
+    gold = [_line([0, 0, 0], [10, 0, 0]),
+            _line([0, 4, 0], [10, 4, 0]),
+            _line([0, 8, 0], [10, 8, 0])]
+    pred = [_line([0, -1, 0], [10, -1, 0]),   # g0 only
+            _line([0, 1.5, 0], [10, 1.5, 0]),  # g0 (d=1.5) + g1 (d=2.5... no)
+            _line([0, 5.5, 0], [10, 5.5, 0])]
+    # with tol=3: p0->g0(1), p1->g0(1.5),g1(2.5), p2->g1(1.5),g2(2.5)
+    m = line_match_metrics(pred, gold, tol=3.0)
+    assert m["count_recall"] == 1.0 and m["count_precision"] == 1.0
