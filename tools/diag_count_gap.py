@@ -98,6 +98,29 @@ def main():
         if matched_g[i] < 0 and not used_p[j]:
             matched_g[i] = j
             used_p[j] = True
+    # augment to the maximum matching (mirrors utils.golden, so the
+    # buckets here agree with the reported count metric)
+    adj = [np.where(cov[i] >= coverage_t)[0] for i in range(n_g)]
+    sys.setrecursionlimit(100000)
+    pred_owner = {int(matched_g[i]): i for i in range(n_g) if matched_g[i] >= 0}
+
+    def aug_fast(start, seen):
+        for j in adj[start]:
+            j = int(j)
+            if j in seen:
+                continue
+            seen.add(j)
+            owner = pred_owner.get(j, -1)
+            if owner < 0 or aug_fast(owner, seen):
+                pred_owner[j] = start
+                matched_g[start] = j
+                used_p[j] = True
+                return True
+        return False
+
+    for i in range(n_g):
+        if matched_g[i] < 0 and len(adj[i]):
+            aug_fast(i, set())
 
     # ---- unmatched golden breakdown ----
     klass = Counter()

@@ -85,6 +85,15 @@ def main():
         t = timeit(lambda: lsd_cc.merge_tile_labels(
             lab, angle_p, used_p, jnp.float32(prec), tile=(th, tw)))
         print(f"CC border merge   : {t*1e3:8.1f} ms", flush=True)
+        cap = lsd_cc.auto_link_cap((hp, wp), (th, tw))
+        t = timeit(lambda: lsd_cc.merge_tile_labels(
+            lab, angle_p, used_p, jnp.float32(prec), tile=(th, tw),
+            link_cap=cap))
+        _, nv = lsd_cc.merge_tile_labels(
+            lab, angle_p, used_p, jnp.float32(prec), tile=(th, tw),
+            link_cap=cap)
+        print(f"CC merge compacted: {t*1e3:8.1f} ms "
+              f"(links {int(nv)}/{cap})", flush=True)
     else:
         cc = jax.jit(lambda a, u: lsd._connected_components(
             a, u, jnp.float32(prec), n_iters=16))
