@@ -187,12 +187,15 @@ def _border_links(lab, angle, active, tol, stride: int, axis: int):
 
 
 def auto_link_cap(shape: tuple, tile: tuple) -> int:
-    """Default compacted-link capacity: 1/8 of the raw border-link slots
-    (measured ~3% valid on the testdata images), rounded up to 1024."""
+    """Default compacted-link capacity: 1/4 of the raw border-link slots,
+    rounded up to 1024.  Measured valid fraction on the testdata images is
+    ~15% (19215/131k at 3072x2304) — 25% headroom keeps the overflow
+    fallback (an uncompacted re-run, i.e. double work) a rare event while
+    still shrinking the union-find loop's gathers ~4x."""
     hp, wp = shape
     th, tw = tile
     L = 3 * (max(hp // th - 1, 0) * wp + max(wp // tw - 1, 0) * hp)
-    return max(1024, ((L // 8 + 1023) // 1024) * 1024)
+    return max(1024, ((L // 4 + 1023) // 1024) * 1024)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "iters", "link_cap"))

@@ -105,7 +105,10 @@ def main():
             else:
                 sc = float(score3d[v, j].max()) if score3d is not None else -1
                 if kept is not None and not kept[v, j].any():
-                    votes["no-matches"] += 1
+                    # score3d > 0 proxies "a raw epipolar match existed but
+                    # died at the support/score filters"; == 0 means either
+                    # no raw match or zero support from every other camera
+                    votes["filtered-out" if sc > 0 else "no-support"] += 1
                 else:
                     votes[f"low-score"] += 1
         per_seg.update(votes)
