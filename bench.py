@@ -99,13 +99,17 @@ def run_testdata_e2e():
     cfg = l3d.Config(optimize=False, load_segments=False)
     pipe = l3d.Line3D(cfg)
     t0 = time.perf_counter()
+    items = []
     for cam_id in sorted(cams, key=int):
         c = cams[cam_id]
         cam = l3d.Camera(np.array(c["K"]), np.array(c["R"]),
                          np.array(c["t"]), c["width"], c["height"])
         img = np.asarray(
             Image.open(os.path.join(IMG_DIR, c["image"])).convert("L"))
-        pipe.add_image(int(cam_id), cam, img)
+        items.append((int(cam_id), cam, img))
+    # pipelined detection: image i+1's device program is submitted before
+    # image i's results are read back (ops/lsd.detect_batch)
+    pipe.add_images(items)
     pipe.match_images()
     lines = pipe.reconstruct_3d_lines()
     dt = time.perf_counter() - t0

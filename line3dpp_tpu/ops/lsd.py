@@ -581,14 +581,9 @@ def merge_collinear(segs: np.ndarray, angle_tol_deg: float = 2.0,
     return out
 
 
-def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
-    """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
-    original image coordinates.
-
-    Mirrors the reference's detectLineSegments flow (line3D.cc:249-372):
-    grayscale conversion and optional downscale to ``max_width`` happen
-    here; the min-length/top-k filters live in the pipeline's add_view.
-    """
+def _detect_prep(image: np.ndarray, max_width: int):
+    """Grayscale conversion + optional downscale (line3D.cc:249-372).
+    Returns (f32 image, downscale factor)."""
     img = np.asarray(image)
     if img.ndim == 3:
         img = img @ np.array([0.299, 0.587, 0.114])  # RGB -> luma (PIL order)
@@ -600,11 +595,14 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
         ds = W0 / max_width
         nh, nw = int(round(H0 / ds)), max_width
         img = np.asarray(_bilinear_resize(jnp.asarray(img), nh, nw))
+    return img, ds
 
+
+def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float):
+    """Sync a submitted `_detect_compact`, running the (rare) uncompacted
+    fallbacks, and return host segments in original image coordinates."""
     H, W = img.shape
-    use_pallas_cc = jax.default_backend() == "tpu"
-    segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = \
-        _detect_compact(jnp.asarray(img), H, W, use_pallas_cc)
+    segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = out
     if link_cap and int(link_count) > link_cap:
         # border-link cap overflow: merged components would fragment —
         # re-run with the link compaction disabled (lsd_cc.merge_tile_labels)
@@ -612,16 +610,14 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
               f"{link_cap} compaction cap; re-running uncompacted",
               flush=True)
         segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = \
-            _detect_compact(jnp.asarray(img), H, W, use_pallas_cc,
-                            use_link_cap=False)
+            _detect_compact(img, H, W, use_pallas_cc, use_link_cap=False)
     if int(used_count) > nc_cap:
         # active-pixel cap overflow (extremely textured image): re-run with
         # compaction disabled rather than silently dropping pixels
         print(f"[L3D-TPU] LSD: {int(used_count)} active pixels exceed the "
               f"{nc_cap} compaction cap; re-running uncompacted", flush=True)
         segs, ok, n_ok, used_count, *_ = _detect_compact(
-            jnp.asarray(img), H, W, use_pallas_cc, nc_scale=1.0,
-            use_link_cap=False)
+            img, H, W, use_pallas_cc, nc_scale=1.0, use_link_cap=False)
     if int(n_ok) > _MAX_RAW_SEGMENTS:
         print(f"[L3D-TPU] warning: {int(n_ok)} raw segments exceed the "
               f"{_MAX_RAW_SEGMENTS} transfer cap; weakest are dropped",
@@ -633,6 +629,44 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
     # recall 0.958 -> 0.978, per-line count-F1 0.69 -> 0.80 without it) —
     # so detect() returns the raw accepted rectangles.
     return segs * ds
+
+
+def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
+    """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
+    original image coordinates.
+
+    Mirrors the reference's detectLineSegments flow (line3D.cc:249-372):
+    grayscale conversion and optional downscale to ``max_width`` happen
+    here; the min-length/top-k filters live in the pipeline's add_view.
+    """
+    return detect_batch([image], max_width=max_width, depth=1)[0]
+
+
+def detect_batch(images, max_width: int = -1, depth: int = 2) -> list:
+    """Pipelined detection over several images.
+
+    JAX dispatch is asynchronous: submitting image i+1's program before
+    reading back image i's results overlaps the ~0.5 s/image host
+    compaction + transfer with the next image's device compute (a ~25%
+    cold-run win at testdata scale; no effect on results).  ``depth``
+    bounds the number of in-flight programs (device memory: one padded
+    gradient field + label grid each, ~60 MB at 3072x2304).
+    """
+    use_pallas_cc = jax.default_backend() == "tpu"
+    results = []
+    inflight: list = []
+    for image in images:
+        img, ds = _detect_prep(image, max_width)
+        d_img = jnp.asarray(img)
+        H, W = img.shape
+        inflight.append(
+            (d_img, _detect_compact(d_img, H, W, use_pallas_cc), ds))
+        if len(inflight) >= depth:
+            d, out, dsf = inflight.pop(0)
+            results.append(_detect_finalize(d, out, use_pallas_cc, dsf))
+    for d, out, dsf in inflight:
+        results.append(_detect_finalize(d, out, use_pallas_cc, dsf))
+    return results
 
 
 _MAX_RAW_SEGMENTS = 32768

@@ -90,3 +90,18 @@ def test_statistical_parity_with_opencv():
         if _seg_distance(segs, seg[:2], seg[2:]) < 5.0:
             covered += 1
     assert covered / len(long_ref) > 0.85
+
+
+def test_detect_batch_matches_per_image():
+    # pipelined batch detection must be bitwise identical to per-image
+    # detect() — only the dispatch order differs (ops/lsd.detect_batch)
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(3):
+        img = rng.uniform(0, 8, size=(160, 200)).astype(np.float32)
+        _draw_segment(img, (20.0, 30.0 + 10 * i), (180.0, 35.0 + 10 * i))
+        _draw_segment(img, (100.0, 20.0), (105.0, 150.0))
+        imgs.append(img)
+    batched = lsd.detect_batch(imgs, depth=2)
+    for img, got in zip(imgs, batched):
+        np.testing.assert_array_equal(got, lsd.detect(img))

@@ -59,13 +59,16 @@ def main():
     pipe = l3d.Line3D(cfg)
 
     t0 = time.time()
+    items = []
     for cam_id in sorted(cams, key=int):
         c = cams[cam_id]
         cam = l3d.Camera(np.array(c["K"]), np.array(c["R"]), np.array(c["t"]),
                          c["width"], c["height"])
         img = np.asarray(Image.open(os.path.join(IMG_DIR, c["image"])).convert("L"))
-        pipe.add_image(int(cam_id), cam, img, cache_dir=CACHE)
-        print(f"  view {cam_id}: {len(pipe._views[int(cam_id)].segments)} segments")
+        items.append((int(cam_id), cam, img))
+    pipe.add_images(items, cache_dir=CACHE)   # pipelined detection when cold
+    for cam_id, _, _ in items:
+        print(f"  view {cam_id}: {len(pipe._views[cam_id].segments)} segments")
     t_detect = time.time() - t0
 
     t0 = time.time()
