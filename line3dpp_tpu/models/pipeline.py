@@ -290,7 +290,10 @@ class Line3D:
             kept=out.kept,
             est_valid=out.est_valid, est_P1=out.est_P1, est_P2=out.est_P2,
             est_d1=out.est_d1, est_d2=out.est_d2,
-            max_score=jnp.zeros((V,), jnp.float32),
+            # per-view max score (filterMatches line3D.cc:1592-1603); the
+            # step already applied the cuts — kept for diagnostics
+            max_score=jnp.max(jnp.where(out.match_valid, out.score3d, 0.0),
+                              axis=(1, 2)),
         )
         tview = jnp.broadcast_to(
             jnp.repeat(d_nbr, k, axis=1)[:, None, :], out.tgt_seg.shape)

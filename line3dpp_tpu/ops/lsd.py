@@ -341,19 +341,16 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                 npix = mom[6]
                 tables = _tables(jnp.cos(theta), jnp.sin(theta), cx, cy,
                                  jnp.full((c_cap,), big))
-                ext, _ = lsd_fit.extents(slot, xs_s, ys_s, ang_s, pix_f,
-                                         tables, jnp.bool_(True),
-                                         jnp.float32(-2.0), c_cap)
+                ext = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables, c_cap)
                 return _finish_fit(cx, cy, theta, npix,
                                    ext[0], -ext[2], ext[1], -ext[3],
                                    dict(tables=tables))
 
             def gated_pix(f, gate_vec, pix_f, dump_keep):
                 tables = f["tables"].at[4, :c_cap].set(gate_vec)
-                _, newpix = lsd_fit.extents(slot, xs_s, ys_s, ang_s, pix_f,
-                                            tables, jnp.bool_(dump_keep),
-                                            cos_gate, c_cap)
-                return newpix
+                return lsd_fit.gate_pixels(slot, xs_s, ys_s, ang_s, pix_f,
+                                           tables, jnp.bool_(dump_keep),
+                                           cos_gate, c_cap)
         else:
             # --- XLA fallback: segment reductions + monotone gathers ---
             def fit(pix_f):

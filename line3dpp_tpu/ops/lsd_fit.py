@@ -113,39 +113,129 @@ def moments(slot, xs, ys, mag, pix, c_cap: int, interpret: bool = False):
     return out[:, :c_cap]
 
 
-def _extent_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
-                   tab_ref, ext_ref, newpix_ref, win_ref, dma_sem,
-                   *, c_cap: int):
+# sentinel for the run-head scatter matmul: must exceed any |projection|
+# (grid diag < 4096 at full resolution) but stay small enough that
+# (v - _SB) keeps f32 absolute precision ~1e-3 (at 1e9 it would be ~64)
+_SB = 8192.0
+
+
+def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
+                   tab_ref, ext_ref, *, c_cap: int):
+    """Per-component projection extents via segmented suffix-min.
+
+    Pixels arrive label-sorted, so each component's pixels in a tile form
+    ONE contiguous run (dump-slot pixels separate different labels, never
+    split a label's run).  Per row the run-wise min is computed with 7
+    sorted-key log-shift steps on (1, 128) vectors plus a cross-row carry
+    (rows processed last-to-first); each run's total then sits at its
+    in-tile head pixel, and heads are unique per (component, tile), so the
+    scatter back to the component window is an EXACT sum matmul
+    ``feats(8,128) @ onehot(128,WIN)`` on the MXU — the same shape as the
+    moments kernel.  This replaces the previous four (WIN, 128) masked
+    column-min reductions per row, which dominated the kernel
+    (~56 -> ~15 ms measured, tools/bench_lsd_kernels.py)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         ext_ref[:] = jnp.full_like(ext_ref, BIG)
 
     lo = _tile_window_lo(slot_ref[:], c_cap)
-    dump_keep = scal_ref[0] != 0.0     # pix value for dump pixels in newpix
-    # region-angle gate (lsd.cpp `isaligned`): keep a pixel only when its
-    # level-line angle is within the tolerance of the component's fitted
-    # axis, orientation-free: |cos(a - theta)| >= cos_tol.  cos_tol <= -1
-    # disables the gate.
-    cos_tol = scal_ref[1]
+    # full feature table (4.2 MB) stays VMEM-resident across the grid
+    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
+    iota_wl = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
+    iota_lw = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    # the full feature table (8, c_cap+WIN) would not fit VMEM next to the
-    # extents accumulator; it stays in HBM and only the tile's 128-aligned
-    # window is DMA'd in
-    copy = pltpu.make_async_copy(tab_ref.at[:, pl.ds(lo, WIN)], win_ref,
-                                 dma_sem)
-    copy.start()
-    copy.wait()
-    window = win_ref[:]                                       # (8, WIN)
-    # running per-bucket minima as (WIN, 1) columns (functional — Mosaic
-    # has no in-kernel scatter); transposed to (8, WIN) at the end via an
-    # exact eye(8) matmul.  The sublane-row loop is a fori_loop, not a
-    # Python unroll: unrolling keeps eight (WIN, 128) temporaries live and
-    # blows the Mosaic stack past VMEM.
+    def row_body(i, state):
+        r = ROWS - 1 - i
+        carry_slot, c1, c2, c3, c4, acc = state
+        slot_r = slot_ref[pl.ds(r, 1), :]
+        loc_r = jnp.clip(slot_r - lo, 0, WIN - 1)
+        msk_r = slot_r < c_cap
+        pix_r = pix_ref[pl.ds(r, 1), :]
+        oh = jnp.where((iota_wl == loc_r) & msk_r, 1.0, 0.0)   # (WIN, 128)
+        vals = jax.lax.dot_general(
+            window, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
+        ct, st = vals[0:1, :], vals[1:2, :]
+        cx, cy = vals[2:3, :], vals[3:4, :]
+        dxp = xs_ref[pl.ds(r, 1), :] - cx
+        dyp = ys_ref[pl.ds(r, 1), :] - cy
+        l_proj = dxp * ct + dyp * st
+        w_proj = -dxp * st + dyp * ct
+
+        inpix = (pix_r != 0.0) & msk_r
+        vs = [jnp.where(inpix, l_proj, BIG),
+              jnp.where(inpix, w_proj, BIG),
+              jnp.where(inpix, -l_proj, BIG),
+              jnp.where(inpix, -w_proj, BIG)]
+
+        # in-row segmented suffix-min: after step d, lane j holds the min
+        # over same-slot lanes [j, min(j + 2d - 1, run end)] — sorted keys
+        # make the plain equality test sufficient
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            ok_sh = (lane + d <= LANES - 1) & \
+                (slot_r == jnp.roll(slot_r, -d, axis=1))
+            vs = [jnp.minimum(v, jnp.where(ok_sh, jnp.roll(v, -d, axis=1),
+                                           BIG)) for v in vs]
+
+        # cross-row carry: the row's tail run may continue into row r+1
+        cont = slot_r == carry_slot
+        vs = [jnp.where(cont, jnp.minimum(v, c), v)
+              for v, c in zip(vs, (c1, c2, c3, c4))]
+
+        # in-tile run heads: previous element (row-major) has another slot;
+        # the tile's first element is always a head
+        prev_in_row = jnp.roll(slot_r, 1, axis=1)
+        prev_row_last = slot_ref[pl.ds(jnp.maximum(r - 1, 0), 1), :][:, LANES - 1:]
+        prev = jnp.where(lane == 0,
+                         jnp.where(r == 0, jnp.int32(-1), prev_row_last),
+                         prev_in_row)
+        hm = jnp.where((slot_r != prev) & msk_r, 1.0, 0.0)
+
+        # head scatter as an exact sum matmul: one head per (slot, tile),
+        # all other lanes contribute 0; +_SB restores values afterwards.
+        # Mosaic cannot reshape i1 vectors — fold the mask into the int32
+        # local id (poisoned id WIN + 1 never matches), as in _moments_kernel
+        feats = jnp.concatenate(
+            [hm * (v - _SB) for v in vs] + [jnp.zeros_like(hm)] * 4, axis=0)
+        loc_m = jnp.where(msk_r, loc_r, WIN + 1)
+        oh_t = jnp.where(iota_lw == loc_m.reshape(LANES, 1),
+                         1.0, 0.0)                              # (128, WIN)
+        acc = acc + jax.lax.dot_general(
+            feats, oh_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (8, WIN)
+
+        return (slot_r[:, 0:1], vs[0][:, 0:1], vs[1][:, 0:1],
+                vs[2][:, 0:1], vs[3][:, 0:1], acc)
+
+    state = (jnp.full((1, 1), -1, jnp.int32),
+             *(jnp.full((1, 1), BIG, jnp.float32) for _ in range(4)),
+             jnp.zeros((ROWS, WIN), jnp.float32))
+    state = jax.lax.fori_loop(0, ROWS, row_body, state)
+    acc = state[5]
+    # components absent from this tile contributed exactly 0 (a present
+    # head contributes v - _SB != 0 since |v| < _SB or v = BIG): keep BIG
+    ext = jnp.where(acc == 0.0, BIG, acc + _SB)
+    cur = ext_ref[:, pl.ds(lo, WIN)]
+    ext_ref[:, pl.ds(lo, WIN)] = jnp.minimum(cur, ext)
+
+
+def _gate_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
+                 tab_ref, newpix_ref, *, c_cap: int):
+    """newpix-only variant of `_extent_kernel`: the density-refine and
+    pixel-consumption passes (ops/lsd.py `gated_pix`) never read the
+    extents, and the four (WIN, 128) masked column-min reductions are
+    ~80% of that kernel's time — this drops them, keeping only the one-hot
+    MXU table expansion and the per-pixel gate test."""
+    lo = _tile_window_lo(slot_ref[:], c_cap)
+    dump_keep = scal_ref[0] != 0.0
+    cos_tol = scal_ref[1]
+    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
 
-    def row_body(r, cols):
-        # dynamic row reads must go through the refs (Mosaic has no
-        # dynamic_slice on values)
+    def row_body(r, carry):
         slot_r = slot_ref[pl.ds(r, 1), :]
         loc_r = jnp.clip(slot_r - lo, 0, WIN - 1)
         msk_r = slot_r < c_cap
@@ -160,16 +250,7 @@ def _extent_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
         gate = vals[4:5, :]
         dxp = xs_ref[pl.ds(r, 1), :] - cx
         dyp = ys_ref[pl.ds(r, 1), :] - cy
-        l_proj = dxp * ct + dyp * st
         w_proj = -dxp * st + dyp * ct
-
-        inpix = (pix_r != 0.0) & msk_r
-        ON = (oh != 0.0) & inpix                               # (WIN, 128)
-
-        def col_min(col, v):
-            m = jnp.where(ON, jnp.broadcast_to(v, ON.shape), BIG)
-            return jnp.minimum(col, jnp.min(m, axis=1, keepdims=True))
-
         ang_r = ang_ref[pl.ds(r, 1), :]
         aligned = jnp.abs(jnp.cos(ang_r) * ct
                           + jnp.sin(ang_r) * st) >= cos_tol
@@ -177,40 +258,16 @@ def _extent_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
         newpix_ref[pl.ds(r, 1), :] = jnp.where(
             msk_r, jnp.where(keep, 1.0, 0.0),
             jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))
+        return carry
 
-        return (col_min(cols[0], l_proj), col_min(cols[1], w_proj),
-                col_min(cols[2], -l_proj), col_min(cols[3], -w_proj))
-
-    init = tuple(jnp.full((WIN, 1), BIG, jnp.float32) for _ in range(4))
-    cols = jax.lax.fori_loop(0, ROWS, row_body, init)
-
-    A = jnp.concatenate(
-        list(cols) + [jnp.full((WIN, 1), BIG, jnp.float32)] * 4,
-        axis=1)                                                # (WIN, 8)
-    eye8 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1), 1.0, 0.0)
-    # ext[f, w] = A[w, f]: exact transpose as an identity matmul
-    ext = jax.lax.dot_general(eye8, A, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    cur = ext_ref[:, pl.ds(lo, WIN)]
-    ext_ref[:, pl.ds(lo, WIN)] = jnp.minimum(cur, ext)
+    jax.lax.fori_loop(0, ROWS, row_body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
-def extents(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
-            cos_tol: jnp.ndarray, c_cap: int, interpret: bool = False):
-    """Projection extents + gated pixel mask update, one pass.
-
-    ``tables`` is ``[8, c_cap + WIN]`` f32 with rows (cos t, sin t, cx, cy,
-    gate, ...).  Returns ``(ext [8, c_cap], newpix [N])`` where ext rows are
-    (lmin, wmin, -lmax(min of neg), -wmax) and
-    ``newpix = pix & (|w_proj| <= gate[slot]) & aligned`` with
-    ``aligned = |cos(ang - theta[slot])| >= cos_tol`` (the lsd.cpp
-    `isaligned` region-angle test; pass ``cos_tol <= -1`` to disable).
-    Dump pixels keep ``pix`` when ``dump_keep`` else drop.
-    """
+def gate_pixels(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
+                cos_tol: jnp.ndarray, c_cap: int, interpret: bool = False):
+    """``newpix`` of :func:`extents` without the extents reduction —
+    identical gating semantics, ~3x faster."""
     n = slot.shape[0]
     assert n % TILE_N == 0, n
     assert tables.shape == (ROWS, c_cap + WIN), tables.shape
@@ -222,17 +279,45 @@ def extents(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
                         memory_space=pltpu.VMEM)
     scal = jnp.stack([jnp.where(dump_keep, 1.0, 0.0).astype(jnp.float32),
                       cos_tol.astype(jnp.float32)])
-    ext, newpix = pl.pallas_call(
-        functools.partial(_extent_kernel, c_cap=c_cap),
+    newpix = pl.pallas_call(
+        functools.partial(_gate_kernel, c_cap=c_cap),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [blk] * 5 + [pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(full, blk),
-        out_shape=(jax.ShapeDtypeStruct((ROWS, c_cap + WIN), jnp.float32),
-                   jax.ShapeDtypeStruct(shape2, jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((ROWS, WIN), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+        + [blk] * 5 + [full],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(shape2, jnp.float32),
         interpret=interpret,
     )(scal, slot.reshape(shape2), xs.reshape(shape2), ys.reshape(shape2),
       ang.reshape(shape2), pix.reshape(shape2), tables)
-    return ext[:, :c_cap], newpix.reshape(n)
+    return newpix.reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
+def extents(slot, xs, ys, pix, tables, c_cap: int, interpret: bool = False):
+    """Per-component projection extents over the label-sorted pixels.
+
+    ``tables`` is ``[8, c_cap + WIN]`` f32 with rows (cos t, sin t, cx, cy,
+    ...).  Returns ``ext [8, c_cap]`` with rows (lmin, wmin, -lmax (min of
+    the negation), -wmax); rows 4-7 are BIG padding.  Pixel gating lives in
+    :func:`gate_pixels` (the former fused newpix output was never consumed
+    together with the extents).
+    """
+    n = slot.shape[0]
+    assert n % TILE_N == 0, n
+    assert tables.shape == (ROWS, c_cap + WIN), tables.shape
+    shape2 = (n // LANES, LANES)
+    grid = (n // TILE_N,)
+    blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((ROWS, c_cap + WIN), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    ext = pl.pallas_call(
+        functools.partial(_extent_kernel, c_cap=c_cap),
+        grid=grid,
+        in_specs=[blk] * 4 + [full],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((ROWS, c_cap + WIN), jnp.float32),
+        interpret=interpret,
+    )(slot.reshape(shape2), xs.reshape(shape2), ys.reshape(shape2),
+      pix.reshape(shape2), tables)
+    return ext[:, :c_cap]

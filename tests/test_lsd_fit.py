@@ -12,12 +12,15 @@ from line3dpp_tpu.ops import lsd_fit
 
 
 def _random_sorted_case(rng, n=2048, c_cap=256, dump_frac=0.15):
-    """Sorted slot array with interspersed dump entries + payloads."""
+    """Sorted slot array + payloads, with whole RUNS mapped to the dump
+    slot — matching the pipeline invariant (ops/lsd.py `_lsd_round`): slots
+    come from label-sorted keys, and a label is dumped as a whole (short
+    run / c_cap overflow), so a real component's run is never interrupted.
+    The extents kernel's head-scatter relies on this contiguity."""
     n_runs = 40
     run_of = np.sort(rng.integers(0, n_runs, n))
-    slot = run_of.astype(np.int32)
-    dump = rng.uniform(size=n) < dump_frac
-    slot[dump] = c_cap
+    dump_runs = rng.uniform(size=n_runs) < dump_frac
+    slot = np.where(dump_runs[run_of], c_cap, run_of).astype(np.int32)
     xs = rng.uniform(0, 500, n).astype(np.float32)
     ys = rng.uniform(0, 300, n).astype(np.float32)
     mag = rng.uniform(0.1, 9.0, n).astype(np.float32)
@@ -57,42 +60,31 @@ def test_extents_kernel(rng):
     tables[3, :c_cap] = cy
     tables[4, :c_cap] = gate
 
-    ang = rng.uniform(-np.pi, np.pi, len(slot)).astype(np.float32)
-    for dump_keep in (True, False):
-        for cos_tol in (-2.0, float(np.cos(np.radians(22.5)))):
-            ext, newpix = lsd_fit.extents(
-                jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
-                jnp.asarray(ang), jnp.asarray(pix), jnp.asarray(tables),
-                jnp.bool_(dump_keep), jnp.float32(cos_tol),
-                c_cap, interpret=True)
-            ext, newpix = np.asarray(ext), np.asarray(newpix)
+    ext = np.asarray(lsd_fit.extents(
+        jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(pix), jnp.asarray(tables), c_cap, interpret=True))
 
-            # reference per-pixel projections
-            ct, st = np.cos(theta), np.sin(theta)
-            sc = np.minimum(slot, c_cap - 1)
-            dxp = xs - cx[sc]
-            dyp = ys - cy[sc]
-            l_proj = dxp * ct[sc] + dyp * st[sc]
-            w_proj = -dxp * st[sc] + dyp * ct[sc]
+    # reference per-pixel projections
+    ct, st = np.cos(theta), np.sin(theta)
+    sc = np.minimum(slot, c_cap - 1)
+    dxp = xs - cx[sc]
+    dyp = ys - cy[sc]
+    l_proj = dxp * ct[sc] + dyp * st[sc]
+    w_proj = -dxp * st[sc] + dyp * ct[sc]
 
-            want_ext = np.full((4, c_cap), lsd_fit.BIG, np.float32)
-            for c in range(c_cap):
-                m = (slot == c) & (pix != 0)
-                if m.any():
-                    want_ext[0, c] = l_proj[m].min()
-                    want_ext[1, c] = w_proj[m].min()
-                    want_ext[2, c] = (-l_proj[m]).min()
-                    want_ext[3, c] = (-w_proj[m]).min()
-            np.testing.assert_allclose(ext[:4], want_ext,
-                                       rtol=1e-4, atol=1e-2)
-
-            aligned = (np.abs(np.cos(ang) * ct[sc] + np.sin(ang) * st[sc])
-                       >= cos_tol)
-            want_pix = np.where(
-                slot < c_cap,
-                pix * ((np.abs(w_proj) <= gate[sc]) & aligned),
-                pix if dump_keep else 0.0).astype(np.float32)
-            np.testing.assert_array_equal(newpix, want_pix)
+    want_ext = np.full((4, c_cap), lsd_fit.BIG, np.float32)
+    for c in range(c_cap):
+        m = (slot == c) & (pix != 0)
+        if m.any():
+            want_ext[0, c] = l_proj[m].min()
+            want_ext[1, c] = w_proj[m].min()
+            want_ext[2, c] = (-l_proj[m]).min()
+            want_ext[3, c] = (-w_proj[m]).min()
+    # empty/absent components must stay at BIG exactly
+    empty = want_ext[0] >= lsd_fit.BIG
+    np.testing.assert_array_equal(ext[:4][:, empty],
+                                  want_ext[:, empty])
+    np.testing.assert_allclose(ext[:4], want_ext, rtol=1e-4, atol=1e-2)
 
 
 def test_core_pallas_path_matches_xla(rng):
@@ -113,11 +105,13 @@ def test_core_pallas_path_matches_xla(rng):
                                     use_pallas_cc=False)
     a = np.asarray(segs_x)[np.asarray(ok_x)]
 
-    orig_cc, orig_mom, orig_ext = (lsd_cc.cc_tiles, lsd_fit.moments,
-                                   lsd_fit.extents)
+    orig_cc, orig_mom, orig_ext, orig_gate = (
+        lsd_cc.cc_tiles, lsd_fit.moments, lsd_fit.extents,
+        lsd_fit.gate_pixels)
     lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
     lsd_fit.moments = functools.partial(orig_mom, interpret=True)
     lsd_fit.extents = functools.partial(orig_ext, interpret=True)
+    lsd_fit.gate_pixels = functools.partial(orig_gate, interpret=True)
     try:
         segs_p, ok_p, _ = lsd._lsd_core(jnp.asarray(img), H, W,
                                         use_pallas_cc=True)
@@ -125,6 +119,7 @@ def test_core_pallas_path_matches_xla(rng):
         lsd_cc.cc_tiles = orig_cc
         lsd_fit.moments = orig_mom
         lsd_fit.extents = orig_ext
+        lsd_fit.gate_pixels = orig_gate
     b = np.asarray(segs_p)[np.asarray(ok_p)]
 
     assert len(a) == len(b)
@@ -132,3 +127,41 @@ def test_core_pallas_path_matches_xla(rng):
     a_sorted = a[np.lexsort(a.T)]
     b_sorted = b[np.lexsort(b.T)]
     np.testing.assert_allclose(a_sorted, b_sorted, rtol=1e-3, atol=0.1)
+
+
+def test_gate_pixels(rng):
+    # the gating kernel vs a plain numpy reference of the lsd.cpp
+    # `isaligned` + width-band test
+    c_cap = 256
+    slot, xs, ys, mag, pix = _random_sorted_case(rng)
+    theta = rng.uniform(-np.pi, np.pi, c_cap).astype(np.float32)
+    cx = rng.uniform(0, 500, c_cap).astype(np.float32)
+    cy = rng.uniform(0, 300, c_cap).astype(np.float32)
+    gate = rng.uniform(0.5, 50.0, c_cap).astype(np.float32)
+    tables = np.zeros((8, c_cap + lsd_fit.WIN), np.float32)
+    tables[0, :c_cap] = np.cos(theta)
+    tables[1, :c_cap] = np.sin(theta)
+    tables[2, :c_cap] = cx
+    tables[3, :c_cap] = cy
+    tables[4, :c_cap] = gate
+    ang = rng.uniform(-np.pi, np.pi, len(slot)).astype(np.float32)
+
+    ct, st = np.cos(theta), np.sin(theta)
+    sc = np.minimum(slot, c_cap - 1)
+    dxp = xs - cx[sc]
+    dyp = ys - cy[sc]
+    w_proj = -dxp * st[sc] + dyp * ct[sc]
+    for dump_keep in (True, False):
+        for cos_tol in (-2.0, float(np.cos(np.radians(22.5)))):
+            got = np.asarray(lsd_fit.gate_pixels(
+                jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+                jnp.asarray(ang), jnp.asarray(pix), jnp.asarray(tables),
+                jnp.bool_(dump_keep), jnp.float32(cos_tol),
+                c_cap, interpret=True))
+            aligned = (np.abs(np.cos(ang) * ct[sc] + np.sin(ang) * st[sc])
+                       >= cos_tol)
+            want = np.where(
+                slot < c_cap,
+                pix * ((np.abs(w_proj) <= gate[sc]) & aligned),
+                pix if dump_keep else 0.0).astype(np.float32)
+            np.testing.assert_array_equal(got, want)
