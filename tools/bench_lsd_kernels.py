@@ -107,7 +107,7 @@ def main():
     tables = jnp.zeros((8, c_cap + lsd_fit.WIN), jnp.float32)
     tables = tables.at[0, :c_cap].set(1.0).at[4, :c_cap].set(1e9)
     print(f"extents kernel    : "
-          f"{timeit(lambda: lsd_fit.extents(slot, xs_s, ys_s, ang_s, pix, tables, jnp.bool_(True), jnp.float32(-2.0), c_cap)):8.1f} ms",
+          f"{timeit(lambda: lsd_fit.extents(slot, xs_s, ys_s, pix, tables, c_cap)):8.1f} ms",
           flush=True)
     print(f"gate_pixels kernel: "
           f"{timeit(lambda: lsd_fit.gate_pixels(slot, xs_s, ys_s, ang_s, pix, tables, jnp.bool_(True), jnp.float32(-2.0), c_cap)):8.1f} ms",
