@@ -34,10 +34,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 1152            # window: 1024 max slot span + one 128-lane pad
 ROWS = 8              # sublane rows per tile
 LANES = 128
 TILE_N = ROWS * LANES  # 1024 pixels per grid step
+MIN_RUN = 5           # smallest non-dump run (lsd.cpp npix >= 5 region test;
+                      # enforced by ops/lsd.py _lsd_round's big_run filter)
+# Window of consecutive component ids a tile can touch.  Component ids are
+# consecutive over the label-sorted pixels and only increment at run
+# starts; every run starting inside a tile except the last spans >=
+# MIN_RUN in-tile pixels, plus at most one run straddling in from the
+# previous tile: span <= (TILE_N - 1) // MIN_RUN + 2 = 206.  With the
+# <= 127-lane down-alignment of the window start, max local id is
+# 206 - 1 + 127 = 332 < 384.  (Dump-slot pixels only shrink the count.)
+WIN = 384
+assert ((TILE_N - 1) // MIN_RUN + 2 - 1) + (LANES - 1) <= WIN - 1
 BIG = 1e9
 
 
