@@ -209,11 +209,11 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
-    "link_cap"))
+    "link_cap", "rect_improve"))
 def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                link_tol, *, th: int, tw: int, c_cap: int, hw2: int,
                cc_iters: int, refine_iters: int, use_pallas_cc: bool,
-               link_cap: int = 0):
+               link_cap: int = 0, rect_improve: bool = False):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  All three annealed rounds share
     this single compiled program (the link tolerance is a traced scalar;
@@ -401,11 +401,14 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
 
         # NFA a-contrario validation (lsd.cpp `nfa`): binomial tail
         # P(X >= k | n, p), p = ANG_TH/180, n = rectangle area, k = aligned
-        n = jnp.maximum(jnp.maximum(f["length"], 1.0) * f["width"], 1.0)
-        k = jnp.minimum(f["npix"], n)
-        tail = jax.scipy.special.betainc(
-            jnp.maximum(k, 1.0), jnp.maximum(n - k + 1.0, 1.0), p_nfa)
-        log_nfa = -(log_ntests + jnp.log10(jnp.maximum(tail, 1e-300)))
+        def nfa_of(k_cnt, n_area):
+            n_ = jnp.maximum(n_area, 1.0)
+            k_ = jnp.minimum(k_cnt, n_)
+            tail = jax.scipy.special.betainc(
+                jnp.maximum(k_, 1.0), jnp.maximum(n_ - k_ + 1.0, 1.0), p_nfa)
+            return -(log_ntests + jnp.log10(jnp.maximum(tail, 1e-300)))
+
+        log_nfa = nfa_of(f["npix"], jnp.maximum(f["length"], 1.0) * f["width"])
 
         ok = (
             comp_exists
@@ -413,6 +416,38 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             & (f["density"] >= DENSITY_TH)
             & (log_nfa > LOG_EPS)
         )
+
+        if rect_improve:
+            # lsd.cpp rect_improve (1756-1873): rectangles failing the NFA
+            # retry at reduced widths (0.5 px steps, band centered on the
+            # rect mid-line, endpoints unchanged); accept when any retry
+            # passes NFA + density.  Targets thin edges whose first-fit
+            # rectangle is too wide (~half of the reference segments we
+            # previously missed, tools/diag_undetected.py 'raw-rejected').
+            # DEFAULT OFF: on the golden testdata the rescued rectangles
+            # also consume their pixels, which starves rounds 2-3 and nets
+            # out negative (count-F1 0.883 vs 0.888, precision 0.973 vs
+            # 0.977 measured with TPU detections end-to-end).
+            mid = 0.5 * (f["wmin"] + f["wmax"])
+            if use_pallas_cc:
+                t2 = (f["tables"].at[4, :c_cap].set(mid)
+                      .at[5, :c_cap].set(f["width"]))
+                counts = lsd_fit.band_counts(slot, xs_s, ys_s, pix, t2,
+                                             c_cap)[:4]
+            else:
+                mid_p = expand(mid, 0.0)
+                width_p = expand(f["width"], 0.0)
+                d2 = 2.0 * jnp.abs(f["w_proj"] - mid_p)
+                counts = jnp.stack([
+                    seg_sum(pix * (d2 <= width_p - 0.5 * (b + 1)))
+                    for b in range(4)])
+            w_b = f["width"][None, :] - 0.5 * jnp.arange(1, 5)[:, None]
+            area_b = jnp.maximum(f["length"], 1.0)[None, :] * w_b
+            nfa_b = nfa_of(counts, area_b)
+            dens_b = counts / jnp.maximum(area_b, 1e-12)
+            ok_b = ((w_b > 0.5) & (counts >= 5.0)
+                    & (dens_b >= DENSITY_TH) & (nfa_b > LOG_EPS))
+            ok = ok | (comp_exists & ok_b.any(axis=0))
 
         # remove accepted rectangles' pixels for the next round: any
         # participating pixel within the accepted rectangle's width band
@@ -441,7 +476,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
 def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
-              use_link_cap: bool = True):
+              use_link_cap: bool = True, rect_improve: bool = False):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -477,7 +512,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
             angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             link_tol, th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
-            use_pallas_cc=use_pallas_cc, link_cap=link_cap)
+            use_pallas_cc=use_pallas_cc, link_cap=link_cap,
+            rect_improve=rect_improve)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
@@ -639,7 +675,8 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
     return detect_batch([image], max_width=max_width, depth=1)[0]
 
 
-def detect_batch(images, max_width: int = -1, depth: int = 2) -> list:
+def detect_batch(images, max_width: int = -1, depth: int = 2,
+                 rect_improve: bool = False) -> list:
     """Pipelined detection over several images.
 
     JAX dispatch is asynchronous: submitting image i+1's program before
@@ -657,7 +694,8 @@ def detect_batch(images, max_width: int = -1, depth: int = 2) -> list:
         d_img = jnp.asarray(img)
         H, W = img.shape
         inflight.append(
-            (d_img, _detect_compact(d_img, H, W, use_pallas_cc), ds))
+            (d_img, _detect_compact(d_img, H, W, use_pallas_cc,
+                                    rect_improve=rect_improve), ds))
         if len(inflight) >= depth:
             d, out, dsf = inflight.pop(0)
             results.append(_detect_finalize(d, out, use_pallas_cc, dsf))
@@ -670,15 +708,17 @@ _MAX_RAW_SEGMENTS = 32768
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
-                                              "nc_scale", "use_link_cap"))
+                                              "nc_scale", "use_link_cap",
+                                              "rect_improve"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
-                    use_link_cap: bool = True):
+                    use_link_cap: bool = True, rect_improve: bool = False):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
     segs, ok, diag = _lsd_core(img, H, W, use_pallas_cc=use_pallas_cc,
-                               nc_scale=nc_scale, use_link_cap=use_link_cap)
+                               nc_scale=nc_scale, use_link_cap=use_link_cap,
+                               rect_improve=rect_improve)
     idx = jnp.nonzero(ok, size=_MAX_RAW_SEGMENTS, fill_value=-1)[0]
     valid = idx >= 0
     return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),

@@ -302,6 +302,84 @@ def gate_pixels(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
     return newpix.reshape(n)
 
 
+def _band_counts_kernel(slot_ref, xs_ref, ys_ref, pix_ref, tab_ref, acc_ref,
+                        *, c_cap: int):
+    """Aligned-pixel counts of every component at 4 reduced rectangle
+    widths (width - 0.5*(b+1), bands centered on the rect mid-line) — the
+    batched analog of lsd.cpp rect_improve's width-reduction retries
+    (lsd.cpp:1756-1873), one pass for all components and all attempts."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo = _tile_window_lo(slot_ref[:], c_cap)
+    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
+    iota_wl = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
+    iota_lw = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
+
+    def row_body(r, acc):
+        slot_r = slot_ref[pl.ds(r, 1), :]
+        loc_r = jnp.clip(slot_r - lo, 0, WIN - 1)
+        msk_r = slot_r < c_cap
+        pix_r = pix_ref[pl.ds(r, 1), :]
+        oh = jnp.where((iota_wl == loc_r) & msk_r, 1.0, 0.0)   # (WIN, 128)
+        vals = jax.lax.dot_general(
+            window, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
+        ct, st = vals[0:1, :], vals[1:2, :]
+        cx, cy = vals[2:3, :], vals[3:4, :]
+        mid, width = vals[4:5, :], vals[5:6, :]
+        dxp = xs_ref[pl.ds(r, 1), :] - cx
+        dyp = ys_ref[pl.ds(r, 1), :] - cy
+        w_proj = -dxp * st + dyp * ct
+        dist2 = 2.0 * jnp.abs(w_proj - mid)
+        inpix = jnp.where((pix_r != 0.0) & msk_r, 1.0, 0.0)
+        feats = jnp.concatenate(
+            [inpix * jnp.where(dist2 <= width - 0.5 * (b + 1), 1.0, 0.0)
+             for b in range(4)] + [jnp.zeros_like(inpix)] * 4, axis=0)
+        loc_m = jnp.where(msk_r, loc_r, WIN + 1)
+        oh_t = jnp.where(iota_lw == loc_m.reshape(LANES, 1), 1.0, 0.0)
+        return acc + jax.lax.dot_general(
+            feats, oh_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # (8, WIN)
+
+    acc = jax.lax.fori_loop(0, ROWS, row_body,
+                            jnp.zeros((ROWS, WIN), jnp.float32))
+    acc_ref[:, pl.ds(lo, WIN)] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
+def band_counts(slot, xs, ys, pix, tables, c_cap: int,
+                interpret: bool = False):
+    """Counts of region pixels within 4 width-reduced bands per component.
+
+    ``tables`` rows: (cos t, sin t, cx, cy, band mid = (wmin+wmax)/2,
+    width, ...).  Returns ``[8, c_cap]``; row b (0-3) counts pixels with
+    ``2|w_proj - mid| <= width - 0.5 (b+1)``.
+    """
+    n = slot.shape[0]
+    assert n % TILE_N == 0, n
+    assert tables.shape == (ROWS, c_cap + WIN), tables.shape
+    shape2 = (n // LANES, LANES)
+    grid = (n // TILE_N,)
+    blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((ROWS, c_cap + WIN), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_band_counts_kernel, c_cap=c_cap),
+        grid=grid,
+        in_specs=[blk] * 4 + [full],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((ROWS, c_cap + WIN), jnp.float32),
+        interpret=interpret,
+    )(slot.reshape(shape2), xs.reshape(shape2), ys.reshape(shape2),
+      pix.reshape(shape2), tables)
+    return out[:, :c_cap]
+
+
 @functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
 def extents(slot, xs, ys, pix, tables, c_cap: int, interpret: bool = False):
     """Per-component projection extents over the label-sorted pixels.

@@ -105,13 +105,14 @@ def test_core_pallas_path_matches_xla(rng):
                                     use_pallas_cc=False)
     a = np.asarray(segs_x)[np.asarray(ok_x)]
 
-    orig_cc, orig_mom, orig_ext, orig_gate = (
+    orig_cc, orig_mom, orig_ext, orig_gate, orig_bc = (
         lsd_cc.cc_tiles, lsd_fit.moments, lsd_fit.extents,
-        lsd_fit.gate_pixels)
+        lsd_fit.gate_pixels, lsd_fit.band_counts)
     lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
     lsd_fit.moments = functools.partial(orig_mom, interpret=True)
     lsd_fit.extents = functools.partial(orig_ext, interpret=True)
     lsd_fit.gate_pixels = functools.partial(orig_gate, interpret=True)
+    lsd_fit.band_counts = functools.partial(orig_bc, interpret=True)
     try:
         segs_p, ok_p, _ = lsd._lsd_core(jnp.asarray(img), H, W,
                                         use_pallas_cc=True)
@@ -120,6 +121,7 @@ def test_core_pallas_path_matches_xla(rng):
         lsd_fit.moments = orig_mom
         lsd_fit.extents = orig_ext
         lsd_fit.gate_pixels = orig_gate
+        lsd_fit.band_counts = orig_bc
     b = np.asarray(segs_p)[np.asarray(ok_p)]
 
     assert len(a) == len(b)
@@ -165,3 +167,35 @@ def test_gate_pixels(rng):
                 pix * ((np.abs(w_proj) <= gate[sc]) & aligned),
                 pix if dump_keep else 0.0).astype(np.float32)
             np.testing.assert_array_equal(got, want)
+
+
+def test_band_counts(rng):
+    # width-reduction retry counts vs a plain numpy reference
+    c_cap = 256
+    slot, xs, ys, mag, pix = _random_sorted_case(rng)
+    theta = rng.uniform(-np.pi, np.pi, c_cap).astype(np.float32)
+    cx = rng.uniform(0, 500, c_cap).astype(np.float32)
+    cy = rng.uniform(0, 300, c_cap).astype(np.float32)
+    mid = rng.uniform(-3, 3, c_cap).astype(np.float32)
+    width = rng.uniform(0.5, 12.0, c_cap).astype(np.float32)
+    tables = np.zeros((8, c_cap + lsd_fit.WIN), np.float32)
+    tables[0, :c_cap] = np.cos(theta)
+    tables[1, :c_cap] = np.sin(theta)
+    tables[2, :c_cap] = cx
+    tables[3, :c_cap] = cy
+    tables[4, :c_cap] = mid
+    tables[5, :c_cap] = width
+
+    got = np.asarray(lsd_fit.band_counts(
+        jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(pix), jnp.asarray(tables), c_cap, interpret=True))
+
+    ct, st = np.cos(theta), np.sin(theta)
+    sc = np.minimum(slot, c_cap - 1)
+    w_proj = -(xs - cx[sc]) * st[sc] + (ys - cy[sc]) * ct[sc]
+    d2 = 2.0 * np.abs(w_proj - mid[sc])
+    want = np.zeros((4, c_cap), np.float32)
+    for b in range(4):
+        inb = (pix != 0) & (slot < c_cap) & (d2 <= width[sc] - 0.5 * (b + 1))
+        np.add.at(want[b], sc[inb], 1.0)
+    np.testing.assert_allclose(got[:4], want, atol=1e-3)

@@ -52,6 +52,8 @@ def main():
                   if a.startswith("--block=")), -1)
     split = next((float(a.split("=")[1]) for a in sys.argv
                   if a.startswith("--split=")), None)
+    cache = next((a.split("=", 1)[1] for a in sys.argv
+                  if a.startswith("--cache=")), CACHE)
     cams = json.load(open(CAMS))
     cfg = l3d.Config(optimize=optimize, view_block=block)
     if split is not None:
@@ -66,7 +68,7 @@ def main():
                          c["width"], c["height"])
         img = np.asarray(Image.open(os.path.join(IMG_DIR, c["image"])).convert("L"))
         items.append((int(cam_id), cam, img))
-    pipe.add_images(items, cache_dir=CACHE)   # pipelined detection when cold
+    pipe.add_images(items, cache_dir=cache)   # pipelined detection when cold
     for cam_id, _, _ in items:
         print(f"  view {cam_id}: {len(pipe._views[cam_id].segments)} segments")
     t_detect = time.time() - t0
