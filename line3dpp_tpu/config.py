@@ -59,8 +59,9 @@ class Config:
     # line by >= this many sigma (pixel-equivalent k*depth units); close
     # parallel structure lines otherwise merge through estimate noise
     # (no reference counterpart — see pipeline._split_bimodal_clusters).
-    # <= 0 disables.
-    split_bimodal_t: float = 1.5
+    # <= 0 disables.  Re-calibrated for the TPU-path detections: the golden
+    # count-F1 plateaus at ~0.894 over t in [1.0, 1.25] (0.888 at 1.5).
+    split_bimodal_t: float = 1.1
 
     # --- bundling / optimization (reference: commons.h:83-88) ---
     optimize: bool = True              # batched LM line bundling (Ceres-equivalent)

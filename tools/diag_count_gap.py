@@ -37,7 +37,7 @@ GOLDEN = ("/root/reference/testdata/Line3D++_ref/"
 PRED = os.path.join(
     REPO, "testdata", "out",
     "Line3D-TPU__W_FULL__N_10__sigmaP_2.5__sigmaA_10__epiOverlap_0.25"
-    "__kNN_10__vis_3.txt")
+    "__kNN_10__OPTIMIZED__vis_3.txt")
 
 
 def pair_geometry(ga, gb, tol):
