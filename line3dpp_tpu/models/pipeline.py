@@ -614,11 +614,11 @@ class Line3D:
         order = np.argsort(mc, kind="stable")
         bounds = np.searchsorted(mc[order], np.arange(C + 1))
         for c in range(C):
-            members_c = order[bounds[c]: bounds[c + 1]]
+            members = order[bounds[c]: bounds[c + 1]]
             if self._cluster_records is not None:
                 rec_c = {"outcome": "emitted",
-                         "nodes": (mv[members_c].astype(np.int64) * S
-                                   + ms[members_c]),
+                         "nodes": (mv[members].astype(np.int64) * S
+                                   + ms[members]),
                          "line_idx": len(lines_out)}
                 self._cluster_records.append(rec_c)
             if not intervals[c]:
@@ -641,7 +641,6 @@ class Line3D:
                 if self._cluster_records is not None:
                     rec_c["outcome"] = "tiny"
                 continue
-            members = order[bounds[c] : bounds[c + 1]]
             residuals = np.zeros((len(members), 6))
             for ri, midx in enumerate(members):
                 v, s = mv[midx], ms[midx]
@@ -719,8 +718,9 @@ class Line3D:
             rec = None
             if self._split_records is not None and delta[g] >= 0.5:
                 lo_r, hi_r = idx[o2[: g + 1]], idx[o2[g + 1:]]
-                var_lo_r = csq[g] / (g + 1) - mean_lo[g] ** 2
-                var_hi_r = (csq[-1] - csq[g]) / (n - g - 1) - mean_hi[g] ** 2
+                var_lo_r = max(csq[g] / (g + 1) - mean_lo[g] ** 2, 0.0)
+                var_hi_r = max((csq[-1] - csq[g]) / (n - g - 1)
+                               - mean_hi[g] ** 2, 0.0)
                 rec = {"delta": float(delta[g]),
                        "D": float(delta[g] / max(np.sqrt(
                            0.5 * (var_lo_r + var_hi_r)), EPS)),
@@ -736,8 +736,12 @@ class Line3D:
             # their within-mode spread (D >= 2 ~ clean bimodality); a
             # smeared unimodal cluster can reach delta ~1.6 std but its
             # within-mode variance stays high, failing this gate
-            var_lo = csq[g] / (g + 1) - mean_lo[g] ** 2
-            var_hi = ((csq[-1] - csq[g]) / (n - g - 1) - mean_hi[g] ** 2)
+            # cancellation can drive the variances a hair negative for
+            # near-identical offsets; clamp so D stays finite (NaN would
+            # silently pass the gate)
+            var_lo = max(csq[g] / (g + 1) - mean_lo[g] ** 2, 0.0)
+            var_hi = max((csq[-1] - csq[g]) / (n - g - 1)
+                         - mean_hi[g] ** 2, 0.0)
             D = delta[g] / max(np.sqrt(0.5 * (var_lo + var_hi)), EPS)
             if D < 2.0:
                 dbg["ashman"] += 1

@@ -341,7 +341,11 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                 npix = mom[6]
                 tables = _tables(jnp.cos(theta), jnp.sin(theta), cx, cy,
                                  jnp.full((c_cap,), big))
-                ext = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables, c_cap)
+                # scatter sentinel > any |projection| (grid diagonal bound)
+                sb = float(max(8192, 1 << math.ceil(
+                    math.log2(math.hypot(hp, wp) + 1.0))))
+                ext = lsd_fit.extents(slot, xs_s, ys_s, pix_f, tables,
+                                      c_cap, sb=sb)
                 return _finish_fit(cx, cy, theta, npix,
                                    ext[0], -ext[2], ext[1], -ext[3],
                                    dict(tables=tables))
@@ -631,7 +635,8 @@ def _detect_prep(image: np.ndarray, max_width: int):
     return img, ds
 
 
-def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float):
+def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
+                     rect_improve: bool = False):
     """Sync a submitted `_detect_compact`, running the (rare) uncompacted
     fallbacks, and return host segments in original image coordinates."""
     H, W = img.shape
@@ -643,14 +648,16 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float):
               f"{link_cap} compaction cap; re-running uncompacted",
               flush=True)
         segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = \
-            _detect_compact(img, H, W, use_pallas_cc, use_link_cap=False)
+            _detect_compact(img, H, W, use_pallas_cc, use_link_cap=False,
+                            rect_improve=rect_improve)
     if int(used_count) > nc_cap:
         # active-pixel cap overflow (extremely textured image): re-run with
         # compaction disabled rather than silently dropping pixels
         print(f"[L3D-TPU] LSD: {int(used_count)} active pixels exceed the "
               f"{nc_cap} compaction cap; re-running uncompacted", flush=True)
         segs, ok, n_ok, used_count, *_ = _detect_compact(
-            img, H, W, use_pallas_cc, nc_scale=1.0, use_link_cap=False)
+            img, H, W, use_pallas_cc, nc_scale=1.0, use_link_cap=False,
+            rect_improve=rect_improve)
     if int(n_ok) > _MAX_RAW_SEGMENTS:
         print(f"[L3D-TPU] warning: {int(n_ok)} raw segments exceed the "
               f"{_MAX_RAW_SEGMENTS} transfer cap; weakest are dropped",
@@ -698,9 +705,11 @@ def detect_batch(images, max_width: int = -1, depth: int = 2,
                                     rect_improve=rect_improve), ds))
         if len(inflight) >= depth:
             d, out, dsf = inflight.pop(0)
-            results.append(_detect_finalize(d, out, use_pallas_cc, dsf))
+            results.append(_detect_finalize(d, out, use_pallas_cc, dsf,
+                                            rect_improve))
     for d, out, dsf in inflight:
-        results.append(_detect_finalize(d, out, use_pallas_cc, dsf))
+        results.append(_detect_finalize(d, out, use_pallas_cc, dsf,
+                                        rect_improve))
     return results
 
 

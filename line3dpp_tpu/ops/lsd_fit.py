@@ -8,14 +8,16 @@ In XLA these are segment_sum/gather ops that cost ~20 ms each at 2.5M
 pixels on a v5e — the round-1 detection bottleneck.
 
 The kernels here exploit the sort: within any tile of 1024 consecutive
-sorted pixels, non-dump component slots span a window of at most 1024
-consecutive ids.  Each grid step therefore touches only a WIN-sized slice
-of the component table, and:
+sorted pixels, non-dump component slots span a window of at most ~206
+consecutive ids (every run covers >= MIN_RUN pixels — see the WIN
+derivation below).  Each grid step therefore touches only a WIN-sized
+slice of the component table, and:
 
 * reductions become a one-hot matmul on the MXU:
   ``acc[:, lo:lo+WIN] += features[8, 128] @ onehot[128, WIN]`` per lane row;
 * expansions become the transpose: ``vals = window[8, WIN] @ onehot^T``;
-* extents are a masked min-reduce over the same one-hot.
+* extents use a segmented suffix-min over each tile's sorted runs plus a
+  run-head sum-matmul scatter (see `_extent_kernel`).
 
 Everything is feature-major ([8, C] tables: features on sublanes,
 components on lanes), the full accumulator lives in VMEM across the
@@ -54,8 +56,10 @@ BIG = 1e9
 def _tile_window_lo(slot, c_cap):
     """Start of the tile's component window: smallest non-dump slot,
     aligned DOWN to a 128-lane boundary (Mosaic dynamic slices must be
-    lane-aligned).  Window slack: max in-tile slot span is 1024, plus at
-    most 127 alignment shift — WIN = 1152 covers both exactly."""
+    lane-aligned).  Callers must respect the MIN_RUN contiguity invariant
+    (see the WIN derivation at the top): a slot layout with runs shorter
+    than MIN_RUN can exceed the WIN-127 span this window covers and would
+    silently alias component ids through the clip."""
     lo = jnp.min(jnp.where(slot < c_cap, slot, c_cap))
     lo = jnp.minimum(lo, c_cap)
     return pl.multiple_of((lo // LANES) * LANES, LANES)
@@ -123,14 +127,17 @@ def moments(slot, xs, ys, mag, pix, c_cap: int, interpret: bool = False):
     return out[:, :c_cap]
 
 
-# sentinel for the run-head scatter matmul: must exceed any |projection|
-# (grid diag < 4096 at full resolution) but stay small enough that
-# (v - _SB) keeps f32 absolute precision ~1e-3 (at 1e9 it would be ~64)
+# default sentinel for the run-head scatter matmul: must exceed any
+# |projection| (bounded by the padded grid diagonal) while staying small
+# enough that (v - sb) keeps f32 absolute precision ~1e-3 (at 1e9 it
+# would be ~64).  `extents()` takes the actual bound as a static arg so
+# arbitrarily large full-resolution images stay correct (ops/lsd.py
+# passes the grid diagonal rounded up to a power of two).
 _SB = 8192.0
 
 
 def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
-                   tab_ref, ext_ref, *, c_cap: int):
+                   tab_ref, ext_ref, *, c_cap: int, sb: float):
     """Per-component projection extents via segmented suffix-min.
 
     Pixels arrive label-sorted, so each component's pixels in a tile form
@@ -204,11 +211,11 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
         hm = jnp.where((slot_r != prev) & msk_r, 1.0, 0.0)
 
         # head scatter as an exact sum matmul: one head per (slot, tile),
-        # all other lanes contribute 0; +_SB restores values afterwards.
+        # all other lanes contribute 0; +sb restores values afterwards.
         # Mosaic cannot reshape i1 vectors — fold the mask into the int32
         # local id (poisoned id WIN + 1 never matches), as in _moments_kernel
         feats = jnp.concatenate(
-            [hm * (v - _SB) for v in vs] + [jnp.zeros_like(hm)] * 4, axis=0)
+            [hm * (v - sb) for v in vs] + [jnp.zeros_like(hm)] * 4, axis=0)
         loc_m = jnp.where(msk_r, loc_r, WIN + 1)
         oh_t = jnp.where(iota_lw == loc_m.reshape(LANES, 1),
                          1.0, 0.0)                              # (128, WIN)
@@ -226,8 +233,8 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
     state = jax.lax.fori_loop(0, ROWS, row_body, state)
     acc = state[5]
     # components absent from this tile contributed exactly 0 (a present
-    # head contributes v - _SB != 0 since |v| < _SB or v = BIG): keep BIG
-    ext = jnp.where(acc == 0.0, BIG, acc + _SB)
+    # head contributes v - sb != 0 since |v| < sb or v = BIG): keep BIG
+    ext = jnp.where(acc == 0.0, BIG, acc + sb)
     cur = ext_ref[:, pl.ds(lo, WIN)]
     ext_ref[:, pl.ds(lo, WIN)] = jnp.minimum(cur, ext)
 
@@ -380,8 +387,9 @@ def band_counts(slot, xs, ys, pix, tables, c_cap: int,
     return out[:, :c_cap]
 
 
-@functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
-def extents(slot, xs, ys, pix, tables, c_cap: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("c_cap", "sb", "interpret"))
+def extents(slot, xs, ys, pix, tables, c_cap: int, sb: float = _SB,
+            interpret: bool = False):
     """Per-component projection extents over the label-sorted pixels.
 
     ``tables`` is ``[8, c_cap + WIN]`` f32 with rows (cos t, sin t, cx, cy,
@@ -400,7 +408,7 @@ def extents(slot, xs, ys, pix, tables, c_cap: int, interpret: bool = False):
     full = pl.BlockSpec((ROWS, c_cap + WIN), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
     ext = pl.pallas_call(
-        functools.partial(_extent_kernel, c_cap=c_cap),
+        functools.partial(_extent_kernel, c_cap=c_cap, sb=float(sb)),
         grid=grid,
         in_specs=[blk] * 4 + [full],
         out_specs=full,
