@@ -49,3 +49,44 @@ def test_synthetic_reconstruction(rng, tmp_path):
     back = load_bin(str(tmp_path / "o.bin"))
     assert len(back) == len(lines)
     np.testing.assert_allclose(back[0].segments3d, lines[0].segments3d)
+
+
+def test_add_images_matches_add_image(rng, tmp_path):
+    """Batched ingestion (pipelined detect + mixed cache hits) must register
+    exactly the same views as per-image add_image calls."""
+    imgs = []
+    for i in range(3):
+        img = rng.uniform(0, 8, size=(900, 1200)).astype(np.float32)
+        # a few strong synthetic edges so detection finds something
+        img[200 + 40 * i : 203 + 40 * i, 100:1100] = 200.0
+        img[500:504, 200 + 50 * i : 900 + 50 * i] = 180.0
+        imgs.append(img)
+    K = np.array([[1000.0, 0, 600], [0, 1000.0, 450], [0, 0, 1]])
+    cams = [l3d.Camera(K, np.eye(3), np.array([0.3 * i, 0, 0]), 1200, 900)
+            for i in range(3)]
+
+    cache = str(tmp_path / "cache")
+    cfg = l3d.Config(max_line_segments=100)
+    ref = l3d.Line3D(cfg)
+    for i in range(3):
+        ref.add_image(i, cams[i], imgs[i], cache_dir=cache)
+    assert len(ref._views) == 3
+
+    # warm-cache batched path: every view served from cache
+    got = l3d.Line3D(cfg)
+    got.add_images([(i, cams[i], imgs[i]) for i in range(3)],
+                   cache_dir=cache)
+    for i in range(3):
+        np.testing.assert_array_equal(got._views[i].segments,
+                                      ref._views[i].segments)
+
+    # mixed: drop one cache entry so the batch re-detects only that view
+    import os
+    victim = [f for f in os.listdir(cache) if "_1_" in f][0]
+    os.remove(os.path.join(cache, victim))
+    mixed = l3d.Line3D(cfg)
+    mixed.add_images([(i, cams[i], imgs[i]) for i in range(3)],
+                     cache_dir=cache)
+    for i in range(3):
+        np.testing.assert_array_equal(mixed._views[i].segments,
+                                      ref._views[i].segments)
