@@ -10,6 +10,6 @@ python -m pytest tests/ -q
 echo "=== slow tests (golden e2e, LSD parity) ==="
 python -m pytest tests/ -q -m slow
 echo "=== synthetic ground-truth drive ==="
-python tools/drive_synthetic.py
+python tools/drive_synthetic.py "$@"
 echo "=== golden testdata reconstruction ==="
 python tools/run_testdata.py "$@"

@@ -1,5 +1,15 @@
-"""Drive the library end-to-end through its public API on a synthetic scene."""
+"""Drive the library end-to-end through its public API on a synthetic scene.
+
+Usage: PYTHONPATH=... python tools/drive_synthetic.py [--cpu]
+"""
+import sys
+
 import numpy as np
+
+if "--cpu" in sys.argv:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import line3dpp_tpu as l3d
 
 rng = np.random.default_rng(42)
