@@ -149,8 +149,9 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
     scatter back to the component window is an EXACT sum matmul
     ``feats(8,128) @ onehot(128,WIN)`` on the MXU — the same shape as the
     moments kernel.  This replaces the previous four (WIN, 128) masked
-    column-min reductions per row, which dominated the kernel
-    (~56 -> ~15 ms measured, tools/bench_lsd_kernels.py)."""
+    column-min reductions per row, which dominated the kernel (measured
+    56 -> 33 ms at WIN=1152, before the WIN=384 shrink cut the one-hot
+    cost further; tools/bench_lsd_kernels.py)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         ext_ref[:] = jnp.full_like(ext_ref, BIG)
