@@ -60,7 +60,8 @@ def _match_score_filter(
     segments, seg_mask, RtKinv, C, k_reg, neighbor_ids, F, pair_valid,
     *, epipolar_overlap, knn, two_sig_a_sqr, min_similarity,
     check_orientation, min_best_score, min_best_score_perc, pair_chunk,
-    use_pallas_matching, use_pallas_scoring, src_rows=None):
+    use_pallas_matching, use_pallas_scoring, pallas_interpret=False,
+    src_rows=None):
     """Matching -> scoring -> filtering -> per-view medians for a batch of
     source views.
 
@@ -87,6 +88,7 @@ def _match_score_filter(
             segments, seg_mask, RtKinv, C,
             src_idx, tgt_idx, F.reshape(-1, 3, 3), pair_valid.reshape(-1),
             epipolar_overlap=epipolar_overlap, knn=k,
+            interpret=pallas_interpret,
         )
 
         # (P, k, S) -> (Vb, S, M): keep the big segment axis on lanes until
@@ -135,6 +137,7 @@ def _match_score_filter(
             min_similarity=min_similarity,
             check_orientation=check_orientation,
             C_table=C, k_table=k_reg,
+            interpret=pallas_interpret,
         )
     else:
         scored = scoring_ops.score_matches(
@@ -166,7 +169,7 @@ def _match_score_filter(
         "epipolar_overlap", "knn", "two_sig_a_sqr", "min_similarity",
         "check_orientation", "min_best_score", "min_best_score_perc",
         "min_affinity", "med_scene_depth_static", "pair_chunk",
-        "use_pallas_matching", "use_pallas_scoring",
+        "use_pallas_matching", "use_pallas_scoring", "pallas_interpret",
     ),
 )
 def forward_step(
@@ -191,6 +194,7 @@ def forward_step(
     pair_chunk: int = 8,
     use_pallas_matching: bool = False,
     use_pallas_scoring: bool = False,
+    pallas_interpret: bool = False,
 ) -> StepOutputs:
     msf = _match_score_filter(
         segments, seg_mask, RtKinv, C, k_reg, neighbor_ids, F, pair_valid,
@@ -200,6 +204,7 @@ def forward_step(
         min_best_score_perc=min_best_score_perc, pair_chunk=pair_chunk,
         use_pallas_matching=use_pallas_matching,
         use_pallas_scoring=use_pallas_scoring,
+        pallas_interpret=pallas_interpret,
     )
     t_seg, t_valid = msf["t_seg"], msf["t_valid"]
     scored, fm, median_depth = msf["scored"], msf["fm"], msf["median_depth"]
@@ -216,7 +221,7 @@ def forward_step(
     aff = affinity_ops.affinity_dense(
         fm, t_seg, neighbor_ids, k_reg, median_depth,
         med_scene, two_sig_a_sqr, min_affinity,
-        use_pallas=use_pallas_matching,
+        use_pallas=use_pallas_matching, pallas_interpret=pallas_interpret,
     )
 
     return StepOutputs(

@@ -224,6 +224,7 @@ def affinity_dense(
     k_table: jnp.ndarray | None = None,
     median_depth_table: jnp.ndarray | None = None,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> AffinityDense:
     """Similarity of each (segment-estimate, match-target-estimate) pair
     (reference: line3D.cc:1449-1553, called from 1873-1899).
@@ -257,7 +258,8 @@ def affinity_dense(
         P1b, P2b, d1b, d2b, validb = \
             affinity_pallas.gather_target_estimates(
                 tgt_est.est_P1, tgt_est.est_P2, tgt_est.est_d1,
-                tgt_est.est_d2, tgt_est.est_valid, neighbor_ids, tgt_seg, k)
+                tgt_est.est_d2, tgt_est.est_valid, neighbor_ids, tgt_seg, k,
+                interpret=pallas_interpret)
     else:
         g = lambda x: x[tview, tgt_seg]                         # adv. indexing
         P1b = [g(tgt_est.est_P1[..., i]) for i in range(3)]     # 3x (V, S, M)

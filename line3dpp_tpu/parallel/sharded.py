@@ -51,7 +51,7 @@ def _local_step(
     *,
     epipolar_overlap, knn, two_sig_a_sqr, min_similarity,
     check_orientation, min_best_score, min_best_score_perc, min_affinity,
-    pair_chunk, use_pallas,
+    pair_chunk, use_pallas, pallas_interpret,
 ):
     """Runs inside shard_map; axis name ``views`` is available."""
     Vl, S = mask_local.shape
@@ -74,6 +74,7 @@ def _local_step(
         check_orientation=check_orientation, min_best_score=min_best_score,
         min_best_score_perc=min_best_score_perc, pair_chunk=pair_chunk,
         use_pallas_matching=use_pallas, use_pallas_scoring=use_pallas,
+        pallas_interpret=pallas_interpret,
         src_rows=src_rows,
     )
     t_seg, t_valid = msf["t_seg"], msf["t_valid"]
@@ -99,7 +100,7 @@ def _local_step(
         fm, t_seg, nbr_local, k_local, median_local,
         med_scene, two_sig_a_sqr, min_affinity,
         tgt_est=tgt_est, k_table=k_reg, median_depth_table=median_all,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
     )
 
     return StepOutputs(
@@ -131,7 +132,7 @@ def sharded_forward_step(mesh: Mesh, **static_kwargs):
         epipolar_overlap=0.25, knn=10, two_sig_a_sqr=200.0,
         min_similarity=0.5, check_orientation=True,
         min_best_score=0.75, min_best_score_perc=0.10, min_affinity=0.5,
-        pair_chunk=8, use_pallas=False,
+        pair_chunk=8, use_pallas=False, pallas_interpret=False,
     )
     defaults.update(static_kwargs)
     body = functools.partial(_local_step, **defaults)

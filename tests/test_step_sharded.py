@@ -102,3 +102,36 @@ def test_sharded_step_matches_single_device():
         np.asarray(out.aff_weight), np.asarray(ref.aff_weight), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(out.est_P1), np.asarray(ref.est_P1), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_sharded_step_with_pallas_matches_single_device():
+    """shard_map x Pallas composition: the production multi-chip path runs
+    the Pallas matching/scoring/affinity kernels INSIDE the shard_map (the
+    all-gathered seg_all tables + global neighbor_ids feed the kernels).
+    Interpret mode exercises the exact same indexing/layout on the CPU mesh
+    that compiled kernels use on real chips."""
+    segs, mask, cb, nbr, F, pv = _make_scene()
+    ref = forward_step(
+        jnp.asarray(segs), jnp.asarray(mask), jnp.asarray(cb.RtKinv),
+        jnp.asarray(cb.C), jnp.asarray(cb.k_reg), jnp.asarray(nbr),
+        jnp.asarray(F), jnp.asarray(pv),
+        use_pallas_matching=True, use_pallas_scoring=True,
+        pallas_interpret=True, **STATIC,
+    )
+
+    mesh = sharded.make_mesh(4)
+    fn = sharded.sharded_forward_step(
+        mesh, use_pallas=True, pallas_interpret=True, **STATIC)
+    args = sharded.shard_inputs(mesh, segs, mask, cb.RtKinv, cb.C, cb.k_reg,
+                                nbr, F, pv)
+    out = fn(*args)
+
+    np.testing.assert_array_equal(np.asarray(out.est_valid), np.asarray(ref.est_valid))
+    np.testing.assert_array_equal(np.asarray(out.match_valid), np.asarray(ref.match_valid))
+    np.testing.assert_allclose(
+        np.asarray(out.score3d), np.asarray(ref.score3d), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.aff_weight), np.asarray(ref.aff_weight), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.est_P1), np.asarray(ref.est_P1), rtol=1e-3, atol=1e-3)
