@@ -130,4 +130,8 @@ def gather_target_estimates(est_P1, est_P2, est_d1, est_d2, est_valid,
     P1b = [back(0), back(1), back(2)]
     P2b = [back(3), back(4), back(5)]
     d1b, d2b = back(6), back(7)
-    return P1b, P2b, jnp.abs(d1b), d2b, d1b > 0.0
+    # invalid estimates were encoded as exactly -1.0 (valid depths are always
+    # >= 0 by the matcher's depth>0 filter), so decode validity as d1b >= 0:
+    # a valid estimate with est_d1 == 0.0 exactly stays valid, matching the
+    # XLA gather path which reads est_valid directly.
+    return P1b, P2b, jnp.maximum(d1b, 0.0), d2b, d1b >= 0.0

@@ -150,13 +150,15 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _lsd_statics(H: int, W: int, nc_scale: float):
+def _lsd_statics(H: int, W: int, nc_scale: float, c_cap_scale: int = 1):
     """Shape constants shared by the detection sub-programs."""
     h2, w2 = int(round(H * SCALE)), int(round(W * SCALE))
     th, tw = _tile_for(h2, w2)
     hp, wp = _round_up(h2, th), _round_up(w2, tw)
     NC = _round_up(int(nc_scale * h2 * w2) + 1024, 1024)  # active-pixel cap
-    c_cap = min(1 << 17, _round_up(hp * wp, 128))         # component cap
+    # component cap; `c_cap_scale` raises it when an image overflows the
+    # default (the fit kernels' cost is windowed, so it scales mildly)
+    c_cap = min((1 << 17) * c_cap_scale, _round_up(hp * wp, 128))
     return h2, w2, th, tw, hp, wp, NC, c_cap
 
 
@@ -241,7 +243,9 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
     if True:
         # --- connected components on the dense grid ---
         if use_pallas_cc:
-            lab_d = lsd_cc.cc_tiles(angle, active_d, link_tol, tile=(th, tw))
+            lab_d, cc_conv = lsd_cc.cc_tiles(angle, active_d, link_tol,
+                                             tile=(th, tw))
+            cc_unconverged = jnp.sum(1 - cc_conv)
             T, link_count = lsd_cc.merge_tile_labels(
                 lab_d, angle, active_d, link_tol, tile=(th, tw),
                 link_cap=link_cap)
@@ -250,6 +254,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                               T[jnp.clip(lab_c, 0, HWp - 1)])
         else:
             link_count = jnp.int32(0)
+            cc_unconverged = jnp.int32(0)
             lab_d = _connected_components(angle, active_d, link_tol,
                                           n_iters=cc_iters)
             lab_c = lab_d.reshape(-1)[safe_idx]
@@ -473,14 +478,15 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         segs = jnp.stack([ex1, ey1, ex2, ey2], axis=-1)
         diag = dict(npix=f["npix"], density=f["density"], log_nfa=log_nfa,
                     length=f["length"], width=f["width"], ncomp=ncomp,
-                    link_count=link_count)
+                    link_count=link_count, cc_unconverged=cc_unconverged)
         return segs, ok, active_next, diag
 
 
 def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
-              use_link_cap: bool = True, rect_improve: bool = False):
+              use_link_cap: bool = True, rect_improve: bool = False,
+              c_cap_scale: int = 1):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -495,7 +501,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     TPU, hook+jump XLA elsewhere.  Orchestrated as three sub-programs
     (gradient/compaction, one shared round, output compaction) to keep
     remote compile times tractable."""
-    h2, w2, th, tw, hp, wp, NC, c_cap = _lsd_statics(H, W, nc_scale)
+    h2, w2, th, tw, hp, wp, NC, c_cap = _lsd_statics(H, W, nc_scale,
+                                                     c_cap_scale)
     (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
      ang_c) = _grad_compact(img, H, W, nc_scale)
 
@@ -509,7 +516,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     active_d = used
     link_cap = (lsd_cc.auto_link_cap((hp, wp), (th, tw))
                 if (use_link_cap and use_pallas_cc) else 0)
-    all_segs, all_ok, link_counts = [], [], []
+    all_segs, all_ok, link_counts, ncomps, unconv = [], [], [], [], []
     diag = None
     for link_tol in (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]:
         segs_r, ok_r, active_d, diag = _lsd_round(
@@ -521,12 +528,16 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
+        ncomps.append(diag["ncomp"])
+        unconv.append(diag["cc_unconverged"])
 
     segs = jnp.concatenate(all_segs, axis=0)
     ok = jnp.concatenate(all_ok, axis=0)
     diag = dict(diag, used_count=used_count, nc_cap=NC, c_cap=c_cap,
                 link_count=jnp.max(jnp.stack(link_counts)),
-                link_cap=link_cap)
+                link_cap=link_cap,
+                ncomp=jnp.max(jnp.stack(ncomps)),
+                cc_unconverged=jnp.max(jnp.stack(unconv)))
     return segs, ok, diag
 
 
@@ -637,31 +648,67 @@ def _detect_prep(image: np.ndarray, max_width: int):
 
 def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
                      rect_improve: bool = False):
-    """Sync a submitted `_detect_compact`, running the (rare) uncompacted
-    fallbacks, and return host segments in original image coordinates."""
+    """Sync a submitted `_detect_compact`, running the (rare) capped-path
+    fallbacks, and return host segments in original image coordinates.
+
+    Every capacity in the compacted fast path is checked against the actual
+    counts the device reports; an overflow triggers a loud warning and a
+    re-run with that capacity lifted, so no detection is ever silently lost:
+
+    * Pallas CC tile hit its sweep limit -> XLA hook+jump CC path;
+    * border-link compaction cap -> uncompacted link merge;
+    * active-pixel cap -> full-size (nc_scale=1) pixel list;
+    * component cap (c_cap) -> re-run with the component table scaled up;
+    * accepted-segment transfer cap -> re-run with a larger transfer buffer.
+    """
     H, W = img.shape
-    segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = out
-    if link_cap and int(link_count) > link_cap:
-        # border-link cap overflow: merged components would fragment —
-        # re-run with the link compaction disabled (lsd_cc.merge_tile_labels)
-        print(f"[L3D-TPU] LSD: {int(link_count)} border links exceed the "
-              f"{link_cap} compaction cap; re-running uncompacted",
-              flush=True)
-        segs, ok, n_ok, used_count, nc_cap, link_count, link_cap = \
-            _detect_compact(img, H, W, use_pallas_cc, use_link_cap=False,
-                            rect_improve=rect_improve)
-    if int(used_count) > nc_cap:
-        # active-pixel cap overflow (extremely textured image): re-run with
-        # compaction disabled rather than silently dropping pixels
-        print(f"[L3D-TPU] LSD: {int(used_count)} active pixels exceed the "
-              f"{nc_cap} compaction cap; re-running uncompacted", flush=True)
-        segs, ok, n_ok, used_count, *_ = _detect_compact(
-            img, H, W, use_pallas_cc, nc_scale=1.0, use_link_cap=False,
-            rect_improve=rect_improve)
-    if int(n_ok) > _MAX_RAW_SEGMENTS:
-        print(f"[L3D-TPU] warning: {int(n_ok)} raw segments exceed the "
-              f"{_MAX_RAW_SEGMENTS} transfer cap; weakest are dropped",
-              flush=True)
+    kw = dict(rect_improve=rect_improve)
+    pallas_cc = use_pallas_cc
+    for _ in range(6):  # each fallback fires at most once + final unpack
+        (segs, ok, n_ok, used_count, nc_cap, link_count, link_cap,
+         ncomp, c_cap, cc_unconv) = out
+        if pallas_cc and int(cc_unconv) > 0:
+            # a CC tile exhausted its in-VMEM sweep budget (geodesically
+            # huge component): its labels may fragment one component —
+            # fall back to the XLA hook+jump CC for this image
+            print(f"[L3D-TPU] LSD: {int(cc_unconv)} CC tiles did not "
+                  "converge; falling back to the XLA CC path", flush=True)
+            pallas_cc = False
+        elif link_cap and int(link_count) > link_cap:
+            # border-link cap overflow: merged components would fragment —
+            # re-run with link compaction disabled (lsd_cc.merge_tile_labels)
+            print(f"[L3D-TPU] LSD: {int(link_count)} border links exceed "
+                  f"the {link_cap} compaction cap; re-running uncompacted",
+                  flush=True)
+            kw.update(use_link_cap=False)
+        elif int(used_count) > nc_cap:
+            # active-pixel cap overflow (extremely textured image): re-run
+            # with compaction disabled rather than silently dropping pixels
+            print(f"[L3D-TPU] LSD: {int(used_count)} active pixels exceed "
+                  f"the {nc_cap} compaction cap; re-running uncompacted",
+                  flush=True)
+            kw.update(nc_scale=1.0, use_link_cap=False)
+        elif int(ncomp) > c_cap:
+            # component-table overflow: components beyond c_cap route to
+            # the dump slot and their segments would be silently dropped —
+            # re-run with the table scaled to fit
+            scale = -(-int(ncomp) // (1 << 17))
+            print(f"[L3D-TPU] LSD: {int(ncomp)} components exceed the "
+                  f"{c_cap} component cap; re-running at c_cap_scale="
+                  f"{scale}", flush=True)
+            kw.update(c_cap_scale=scale)
+        elif int(n_ok) > ok.shape[0]:
+            # accepted segments beyond the transfer buffer are dropped in
+            # label (spatial) order, NOT by strength — re-run with a buffer
+            # sized to the actual count
+            cap = _round_up(int(n_ok) + 1024, 1024)
+            print(f"[L3D-TPU] LSD: {int(n_ok)} raw segments exceed the "
+                  f"{ok.shape[0]} transfer cap; re-running with cap={cap}",
+                  flush=True)
+            kw.update(seg_cap=cap)
+        else:
+            break
+        out = _detect_compact(img, H, W, pallas_cc, **kw)
     segs = np.asarray(segs)[np.asarray(ok)].astype(np.float64)
     # NOTE: collinear-fragment merging (merge_collinear) measurably HURTS
     # reconstruction on the golden testdata — merged 2D segments bridge
@@ -718,18 +765,22 @@ _MAX_RAW_SEGMENTS = 32768
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
                                               "nc_scale", "use_link_cap",
-                                              "rect_improve"))
+                                              "rect_improve", "c_cap_scale",
+                                              "seg_cap"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
-                    use_link_cap: bool = True, rect_improve: bool = False):
+                    use_link_cap: bool = True, rect_improve: bool = False,
+                    c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
     segs, ok, diag = _lsd_core(img, H, W, use_pallas_cc=use_pallas_cc,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
-                               rect_improve=rect_improve)
-    idx = jnp.nonzero(ok, size=_MAX_RAW_SEGMENTS, fill_value=-1)[0]
+                               rect_improve=rect_improve,
+                               c_cap_scale=c_cap_scale)
+    idx = jnp.nonzero(ok, size=seg_cap, fill_value=-1)[0]
     valid = idx >= 0
     return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),
             diag["used_count"], diag["nc_cap"], diag["link_count"],
-            diag["link_cap"])
+            diag["link_cap"], diag["ncomp"], diag["c_cap"],
+            diag["cc_unconverged"])

@@ -66,7 +66,7 @@ def _shift_tile(x, dy: int, dx: int, fill):
     return out
 
 
-def _cc_tile_kernel(tol_ref, angle_ref, act_ref, lab_ref, *, wp: int,
+def _cc_tile_kernel(tol_ref, angle_ref, act_ref, lab_ref, conv_ref, *, wp: int,
                     tile_h: int, tile_w: int,
                     max_iters: int, check_every: int):
     i = pl.program_id(0)
@@ -108,9 +108,14 @@ def _cc_tile_kernel(tol_ref, angle_ref, act_ref, lab_ref, *, wp: int,
             new = sweep(new)
         return new, it + check_every, jnp.any(new != lab)
 
-    lab, _, _ = jax.lax.while_loop(
+    lab, _, changed = jax.lax.while_loop(
         cond, body, (lab0, jnp.int32(0), jnp.bool_(True)))
     lab_ref[:] = lab
+    # convergence signal: a tile that exhausted max_iters with labels still
+    # changing (geodesically huge component, e.g. a serpentine region) would
+    # silently fragment into several labels — the caller must fall back to
+    # the XLA hook+jump path for that image.
+    conv_ref[0, 0] = jnp.where(changed, jnp.int32(0), jnp.int32(1))
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "max_iters",
@@ -120,8 +125,11 @@ def cc_tiles(angle: jnp.ndarray, active: jnp.ndarray, tol: jnp.ndarray,
              max_iters: int = 2048, check_every: int = 8,
              interpret: bool = False):
     """Tile-local connected components.  ``angle``/``active`` must already be
-    padded to ``tile`` multiples.  Returns per-pixel labels that are
-    converged within each tile; compose with :func:`merge_tile_labels`."""
+    padded to ``tile`` multiples.  Returns ``(labels, converged)``: per-pixel
+    labels that are converged within each tile (compose with
+    :func:`merge_tile_labels`) plus a per-tile 0/1 convergence grid — 0 means
+    the tile hit ``max_iters`` with labels still changing and the result may
+    fragment components."""
     hp, wp = angle.shape
     th, tw = tile
     assert hp % th == 0 and wp % tw == 0, (hp, wp, tile)
@@ -139,9 +147,16 @@ def cc_tiles(angle: jnp.ndarray, active: jnp.ndarray, tol: jnp.ndarray,
             pl.BlockSpec((th, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct(grid, jnp.int32),
+        ],
         interpret=interpret,
     )(tol.reshape(1), angle, active.astype(jnp.int32))
 

@@ -21,6 +21,10 @@ def _case(rng, V=4, S=40, N=3, k=5):
 
 def test_gather_matches_xla(rng):
     est_P1, est_P2, est_d1, est_d2, est_valid, nbr, tgt_seg = _case(rng)
+    # regression: a VALID estimate with est_d1 == 0.0 exactly must stay
+    # valid through the sign-encoded gather (validity decodes as d1 >= 0)
+    est_valid[:, 0] = True
+    est_d1[:, 0] = 0.0
     V, S, M = tgt_seg.shape
     k = M // nbr.shape[1]
 
@@ -42,12 +46,10 @@ def test_gather_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(d2b), est_d2[tview, tgt_seg])
 
 
-def test_affinity_dense_pallas_path(rng, monkeypatch):
+def test_affinity_dense_pallas_path(rng):
     """affinity_dense(use_pallas=True) == affinity_dense(use_pallas=False)
     wherever edges are valid (invalid targets' d1 differ by encoding but are
     masked)."""
-    import functools
-
     est_P1, est_P2, est_d1, est_d2, est_valid, nbr, tgt_seg = _case(rng)
     V, S, M = tgt_seg.shape
     k = M // nbr.shape[1]
@@ -61,16 +63,11 @@ def test_affinity_dense_pallas_path(rng, monkeypatch):
     k_reg = jnp.asarray(rng.uniform(0.001, 0.01, V).astype(np.float32))
     med = jnp.asarray(rng.uniform(3, 8, V).astype(np.float32))
 
-    monkeypatch.setattr(
-        affinity_pallas, "gather_target_estimates",
-        functools.partial(affinity_pallas.gather_target_estimates,
-                          interpret=True))
-
     a = affinity.affinity_dense(fm, jnp.asarray(tgt_seg), jnp.asarray(nbr),
                                 k_reg, med, 5.0, 200.0, 0.5)
     b = affinity.affinity_dense(fm, jnp.asarray(tgt_seg), jnp.asarray(nbr),
                                 k_reg, med, 5.0, 200.0, 0.5,
-                                use_pallas=True)
+                                use_pallas=True, pallas_interpret=True)
     np.testing.assert_array_equal(np.asarray(a.edge_valid),
                                   np.asarray(b.edge_valid))
     np.testing.assert_allclose(np.asarray(a.weight), np.asarray(b.weight),

@@ -30,9 +30,10 @@ def _labels_both_ways(angle, active, tol):
         jnp.asarray(angle), jnp.asarray(active), jnp.float32(tol),
         n_iters=64))
 
-    lab_t = lsd_cc.cc_tiles(jnp.asarray(angle), jnp.asarray(active),
-                            jnp.float32(tol), tile=TILE, max_iters=512,
-                            interpret=True)
+    lab_t, conv = lsd_cc.cc_tiles(jnp.asarray(angle), jnp.asarray(active),
+                                  jnp.float32(tol), tile=TILE, max_iters=512,
+                                  interpret=True)
+    assert int(jnp.min(conv)) == 1, "a test tile failed to converge"
     T, _ = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
                                     jnp.asarray(active), jnp.float32(tol),
                                     tile=TILE)
@@ -77,8 +78,8 @@ def test_link_cap_compaction():
     _draw_line(angle, active, 200, 1, 200, 14, 1.4)
     tol = jnp.float32(math.radians(22.5))
 
-    lab_t = lsd_cc.cc_tiles(jnp.asarray(angle), jnp.asarray(active), tol,
-                            tile=TILE, max_iters=512, interpret=True)
+    lab_t, _ = lsd_cc.cc_tiles(jnp.asarray(angle), jnp.asarray(active), tol,
+                               tile=TILE, max_iters=512, interpret=True)
     T0, n0 = lsd_cc.merge_tile_labels(lab_t, jnp.asarray(angle),
                                       jnp.asarray(active), tol, tile=TILE)
     cap = lsd_cc.auto_link_cap((H, W), TILE)

@@ -51,7 +51,7 @@ def main():
     prec = jnp.float32(math.radians(lsd.ANG_TH))
 
     # one real CC pass for realistic labels
-    lab_d = lsd_cc.cc_tiles(angle, used, prec, tile=(th, tw))
+    lab_d, _ = lsd_cc.cc_tiles(angle, used, prec, tile=(th, tw))
     cap = lsd_cc.auto_link_cap((hp, wp), (th, tw))
     T, _ = lsd_cc.merge_tile_labels(lab_d, angle, used, prec,
                                     tile=(th, tw), link_cap=cap)

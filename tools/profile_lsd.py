@@ -80,8 +80,8 @@ def main():
         t = timeit(lambda: lsd_cc.cc_tiles(angle_p, used_p,
                                            jnp.float32(prec), tile=(th, tw)))
         print(f"CC pallas tiles   : {t*1e3:8.1f} ms", flush=True)
-        lab = lsd_cc.cc_tiles(angle_p, used_p, jnp.float32(prec),
-                              tile=(th, tw))
+        lab, _ = lsd_cc.cc_tiles(angle_p, used_p, jnp.float32(prec),
+                                 tile=(th, tw))
         t = timeit(lambda: lsd_cc.merge_tile_labels(
             lab, angle_p, used_p, jnp.float32(prec), tile=(th, tw)))
         print(f"CC border merge   : {t*1e3:8.1f} ms", flush=True)
