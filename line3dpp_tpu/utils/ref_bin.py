@@ -35,6 +35,7 @@ import numpy as np
 from .writers import FinalLine3D
 
 _SIGNATURE = b"serialization::archive"
+_LIB_VERSION = 10
 
 
 class _Reader:
@@ -78,8 +79,9 @@ class _Reader:
         return cam, seg
 
 
-def load_reference_bin(path: str) -> list[FinalLine3D]:
-    """Parse a reference Line3D++ result ``.bin`` into FinalLine3D records."""
+def _open_archive(path: str) -> tuple[_Reader, bytes]:
+    """Read + validate the boost binary-archive header; return the reader
+    positioned at the first object."""
     with open(path, "rb") as fh:
         data = fh.read()
     r = _Reader(data)
@@ -96,6 +98,12 @@ def load_reference_bin(path: str) -> list[FinalLine3D]:
     sizes = r.take("4B")
     if tuple(sizes) != (4, 8, 4, 8):
         raise ValueError(f"{path}: unexpected primitive sizes {sizes}")
+    return r, data
+
+
+def load_reference_bin(path: str) -> list[FinalLine3D]:
+    """Parse a reference Line3D++ result ``.bin`` into FinalLine3D records."""
+    r, data = _open_archive(path)
 
     n_lines = r.collection_header("vector<FinalLine3D>")
     out = []
@@ -118,3 +126,69 @@ def load_reference_bin(path: str) -> list[FinalLine3D]:
         raise ValueError(f"{path}: {len(data) - r.o} trailing bytes "
                          "after the last record — layout mismatch")
     return out
+
+
+def load_reference_segments_bin(path: str) -> np.ndarray:
+    """Parse a reference per-image 2D segment cache.
+
+    The reference caches each view's detected segments as a boost binary
+    archive of ``DataArray<float4>`` named
+    ``segments_L3D++_<camID>_<WxH>_<maxsegs>.bin`` (line3D.cc:296-309,
+    362-366; DataArray serialize member dataArray.h:352-374).  The stored
+    coordinates are already upscaled to the original image resolution and
+    length-filtered/top-K sorted by length descending (line3D.cc:320-360).
+
+    Returns an (n, 4) float64 array of [x1 y1 x2 y2] rows.
+    """
+    r, data = _open_archive(path)
+
+    # DataArray<float4> class info; tracked objects carry a u32 object id
+    r.class_info("DataArray<float4>")
+    width = r.take("I")                 # segments stored (dataArray.h:338)
+    height = r.take("I")                # 1 for segment caches
+    real_width = r.take("I")            # width padded to 32-byte pitch
+    _pitch_cpu = r.take("Q")
+    _stride_cpu = r.take("Q")
+    _pitch_gpu = r.take("Q")
+    _stride_gpu = r.take("Q")
+    n = real_width * height
+    if n:
+        # make_array<float4>: per-element serialize (4 f32), one class-info
+        # block for float4 before the first element (dataArray.h:63-70)
+        r.class_info("float4")
+        flat = np.frombuffer(data, dtype="<f4", count=4 * n, offset=r.o)
+        r.o += 16 * n
+    else:
+        flat = np.zeros((0,), np.float32)
+    if r.o != len(data):
+        raise ValueError(f"{path}: {len(data) - r.o} trailing bytes "
+                         "after the pixel array — layout mismatch")
+    segs = flat.reshape(height, real_width, 4)[:, :width]
+    return segs.reshape(-1, 4).astype(np.float64)
+
+
+def save_reference_segments_bin(path: str, segments: np.ndarray) -> None:
+    """Write a per-image 2D segment cache in the reference's on-disk format
+    (the inverse of :func:`load_reference_segments_bin`), so detections can
+    be exported back into an existing Line3D++ workspace."""
+    segments = np.asarray(segments, np.float32).reshape(-1, 4)
+    n = len(segments)
+    # float4 pitch alignment to 32 bytes (dataArray.h:110-118)
+    real_width = n + (n % 2)
+    padded = np.zeros((real_width, 4), np.float32)
+    padded[:n] = segments
+
+    out = bytearray()
+    out += struct.pack("<Q", len(_SIGNATURE)) + _SIGNATURE
+    out += struct.pack("<H4B", _LIB_VERSION, 4, 8, 4, 8)
+    # DataArray<float4> class info: tracked (object id 0) + class version 0,
+    # matching the golden archives' convention for top-level objects
+    out += struct.pack("<BII", 1, 0, 0)
+    pitch = real_width * 16
+    out += struct.pack("<III", n, 1, real_width)
+    out += struct.pack("<QQQQ", pitch, real_width, 0, 0)
+    if real_width:
+        out += struct.pack("<BI", 0, 0)          # float4: untracked, v0
+        out += padded.astype("<f4").tobytes()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

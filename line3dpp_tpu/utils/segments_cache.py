@@ -8,7 +8,9 @@ skip detection entirely (README.md:248-250).
 
 from __future__ import annotations
 
+import glob
 import os
+import re
 
 import numpy as np
 
@@ -25,15 +27,60 @@ def _path(cache_dir: str, cam_id: int, shape, max_segments: int,
         f"segments_L3DTPU_{cam_id}_{w}x{h}_W{wtag}_{max_segments}.npz")
 
 
+def _reference_path(cache_dir: str, cam_id: int, shape,
+                    max_width: int = -1) -> str | None:
+    """Locate a reference Line3D++ cache ``segments_L3D++_<cam>_<WxH>_*.bin``
+    for this view, if one exists (line3D.cc:296-309).
+
+    The reference embeds the PROCESSED (downscaled) image size in the
+    filename; its downscale rule is max-dimension based (line3D.cc:271-293:
+    ``s = max_image_width / max(rows, cols)``), so the expected size is
+    recomputed here and matched with a small rounding tolerance.
+    """
+    cands = glob.glob(os.path.join(cache_dir,
+                                   f"segments_L3D++_{cam_id}_*x*_*.bin"))
+    if not cands:
+        return None
+    h0, w0 = int(shape[0]), int(shape[1])
+    ew, eh = w0, h0
+    if max_width > 0 and max(h0, w0) > max_width:
+        s = max_width / max(h0, w0)
+        ew, eh = round(w0 * s), round(h0 * s)
+
+    best, best_err = None, 3  # accept <= 2 px resize-rounding difference
+    for p in cands:
+        m = re.search(r"_(\d+)x(\d+)_\d+\.bin$", os.path.basename(p))
+        if not m:
+            continue
+        err = abs(int(m.group(1)) - ew) + abs(int(m.group(2)) - eh)
+        if err < best_err:
+            best, best_err = p, err
+    return best
+
+
 def load(cache_dir: str, cam_id: int, shape, max_segments: int,
          max_width: int = -1) -> np.ndarray | None:
     p = _path(cache_dir, cam_id, shape, max_segments, max_width)
-    if not os.path.exists(p):
-        return None
-    try:
-        return np.load(p)["segments"]
-    except Exception:
-        return None
+    if os.path.exists(p):
+        try:
+            return np.load(p)["segments"]
+        except Exception:
+            return None
+    # migration path: import an existing reference Line3D++ workspace's
+    # boost-archive segment cache (coordinates are already full-res)
+    ref = _reference_path(cache_dir, cam_id, shape, max_width)
+    if ref is not None:
+        from . import ref_bin
+        try:
+            segs = ref_bin.load_reference_segments_bin(ref)
+        except Exception as e:
+            print(f"[L3D-TPU] warning: unreadable reference segment cache "
+                  f"{ref}: {e}", flush=True)
+            return None
+        print(f"[L3D-TPU] imported {len(segs)} segments from reference "
+              f"cache {os.path.basename(ref)}", flush=True)
+        return segs
+    return None
 
 
 def store(cache_dir: str, cam_id: int, shape, max_segments: int,
