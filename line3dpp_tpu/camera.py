@@ -159,6 +159,37 @@ def fundamental_matrix(cam1: Camera, cam2: Camera) -> np.ndarray:
     return np.linalg.inv(cam2.K.T) @ E @ np.linalg.inv(cam1.K)
 
 
+def fundamental_matrices(cameras: Sequence[Camera], src_idx: np.ndarray,
+                         tgt_idx: np.ndarray) -> np.ndarray:
+    """Batched :func:`fundamental_matrix` over (src, tgt) index pairs.
+
+    One vectorized einsum pass replaces the per-pair Python loop (the
+    reference computes F per pair on demand, line3D.cc:861-897); at
+    thousands of views the host loop dominated phase-2 setup.
+    Returns (P, 3, 3) float64.
+    """
+    src_idx = np.asarray(src_idx, np.int64).reshape(-1)
+    tgt_idx = np.asarray(tgt_idx, np.int64).reshape(-1)
+    R = np.stack([c.R for c in cameras])                   # (V, 3, 3)
+    t = np.stack([c.t for c in cameras])                   # (V, 3)
+    Kinv = np.linalg.inv(np.stack([c.K for c in cameras]))  # (V, 3, 3)
+
+    R_rel = np.einsum("pij,pkj->pik", R[tgt_idx], R[src_idx])
+    t_rel = t[tgt_idx] - np.einsum("pij,pj->pi", R_rel, t[src_idx])
+
+    P = len(src_idx)
+    Tx = np.zeros((P, 3, 3))
+    Tx[:, 0, 1] = -t_rel[:, 2]
+    Tx[:, 0, 2] = t_rel[:, 1]
+    Tx[:, 1, 0] = t_rel[:, 2]
+    Tx[:, 1, 2] = -t_rel[:, 0]
+    Tx[:, 2, 0] = -t_rel[:, 1]
+    Tx[:, 2, 1] = t_rel[:, 0]
+
+    E = Tx @ R_rel
+    return np.einsum("pji,pjk,pkl->pil", Kinv[tgt_idx], E, Kinv[src_idx])
+
+
 def median_center_translation(cameras: Sequence[Camera]) -> np.ndarray:
     """Median of camera-center coordinates, used to re-center the scene for
     float stability (reference: line3D.cc:500-536).

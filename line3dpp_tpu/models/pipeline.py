@@ -22,7 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..camera import Camera, CameraBatch, fundamental_matrix, median_center_translation
+from ..camera import (Camera, CameraBatch, fundamental_matrices,
+                      median_center_translation)
 from ..config import Config
 from ..ops import affinity as affinity_ops
 from ..ops import clustering as clustering_ops
@@ -226,14 +227,16 @@ class Line3D:
             neighbor_ids[i, : len(nl)] = nl
             pair_valid[i, : len(nl)] = True
 
-        # fundamental matrices per (view, neighbor slot), host f64
+        # fundamental matrices per (view, neighbor slot): one batched host
+        # pass over all valid pairs (O(V*N) python calls dominated setup at
+        # thousands of views)
         F = np.zeros((V, N, 3, 3), np.float32)
         centered = [Camera(c.K, c.R, -c.R @ (c.C - translation), c.width, c.height)
                     for c in cams]
-        for i in range(V):
-            for g in range(N):
-                if pair_valid[i, g]:
-                    F[i, g] = fundamental_matrix(centered[i], centered[neighbor_ids[i, g]])
+        src_p, slot_p = np.nonzero(pair_valid)
+        if len(src_p):
+            F[src_p, slot_p] = fundamental_matrices(
+                centered, src_p, neighbor_ids[src_p, slot_p])
 
         # --- device: one fused step (matching -> scoring -> filtering ->
         # affinity + per-view medians); see models/step.py ---
@@ -793,48 +796,86 @@ class Line3D:
     def _visual_neighbors(self, cam_ids, cams, N) -> dict[int, list[int]]:
         """Worldpoint-overlap neighbor selection with baseline-diversity
         re-ranking (reference: findVisualNeighborsFromWPs line3D.cc:578-699),
-        or fixed lists when provided (line3D.cc:230-246)."""
+        or fixed lists when provided (line3D.cc:230-246).
+
+        All pairwise quantities are vectorized (the overlap counts as one
+        sparse view x worldpoint matmul, the geometry as batched numpy) so
+        setup stays sub-quadratic-ish at thousands of views; only the final
+        per-view top-N rerank — O(candidates) each — runs in Python.  Ties
+        in the score sort break by ascending target index (deterministic)."""
         out: dict[int, list[int]] = {}
+        V = len(cam_ids)
         have_wps = all(self._views[c].worldpoints is not None for c in cam_ids)
-        wp2views: dict[int, list[int]] = {}
-        if have_wps:
-            for c in cam_ids:
-                for wp in self._views[c].worldpoints:
-                    wp2views.setdefault(wp, []).append(c)
-
-        for ci, c in enumerate(cam_ids):
+        todo = [i for i, c in enumerate(cam_ids)
+                if c not in self._fixed_neighbors]
+        for c in cam_ids:
             if c in self._fixed_neighbors:
-                out[c] = [n for n in self._fixed_neighbors[c] if n in self._views]
-                continue
-            if not have_wps:
-                # geometric fallback: nearest cameras by center distance
-                dists = [
-                    (np.linalg.norm(cams[ci].C - cams[cj].C), cam_ids[cj])
-                    for cj in range(len(cam_ids)) if cj != ci
-                ]
-                dists.sort()
-                out[c] = [cid for _, cid in dists[:N]]
-                continue
+                out[c] = [n for n in self._fixed_neighbors[c]
+                          if n in self._views]
+        if not todo:
+            return out
 
-            common: dict[int, int] = {}
+        C = np.stack([cam.C for cam in cams])                    # (V, 3)
+
+        if not have_wps:
+            # geometric fallback: nearest cameras by center distance
+            # (chunked so the distance matrix never exceeds ~chunk*V)
+            todo_set = set(todo)
+            for start in range(0, V, 512):
+                idx = np.arange(start, min(start + 512, V))
+                d = np.linalg.norm(C[idx, None, :] - C[None, :, :], axis=2)
+                d[np.arange(len(idx)), idx] = np.inf
+                order = np.argsort(d, axis=1, kind="stable")[:, :N]
+                for r, i in enumerate(idx):
+                    if i in todo_set:
+                        out[cam_ids[i]] = [cam_ids[j] for j in order[r]
+                                           if np.isfinite(d[r, j])]
+            return out
+
+        # ---- worldpoint-overlap counts: one sparse matmul ----
+        import scipy.sparse as sp
+
+        wp_index: dict = {}
+        rows, cols = [], []
+        for i, c in enumerate(cam_ids):
             for wp in self._views[c].worldpoints:
-                for v2 in wp2views.get(wp, []):
-                    if v2 != c:
-                        common[v2] = common.get(v2, 0) + 1
-            cand = []
-            v = cams[ci]
-            nwp_c = len(self._views[c].worldpoints)
-            for v2_id, n_common in common.items():
-                v2 = cams[cam_ids.index(v2_id)]
-                axis_angle = float(
-                    np.arccos(np.clip(v.optical_axis() @ v2.optical_axis(), -1, 1))
-                )
-                if axis_angle < 1.571 and n_common > 4:
-                    score = 2.0 * n_common / (nwp_c + len(self._views[v2_id].worldpoints))
-                    Ct = v.R @ v2.C + v.t
-                    dist_score = abs(Ct[0]) + abs(Ct[1])
-                    cand.append((score, dist_score, v2_id))
-            cand.sort(key=lambda x: -x[0])
+                cols.append(wp_index.setdefault(wp, len(wp_index)))
+                rows.append(i)
+        nwp = np.array([len(self._views[c].worldpoints) for c in cam_ids],
+                       np.float64)
+        A = sp.csr_matrix(
+            (np.ones(len(rows), np.int64), (rows, cols)),
+            shape=(V, max(len(wp_index), 1)))
+        common = sp.triu(A @ A.T, k=1).tocoo()   # symmetric; keep i < j once
+        i_ = np.concatenate([common.row, common.col])
+        j_ = np.concatenate([common.col, common.row])
+        n_ = np.concatenate([common.data, common.data]).astype(np.float64)
+
+        # ---- batched candidate filters/scores (line3D.cc:620-636) ----
+        axes = np.stack([cam.optical_axis() for cam in cams])    # (V, 3)
+        R = np.stack([cam.R for cam in cams])
+        t = np.stack([cam.t for cam in cams])
+        dot = np.clip(np.sum(axes[i_] * axes[j_], axis=1), -1.0, 1.0)
+        keep = (np.arccos(dot) < 1.571) & (n_ > 4)
+        i_, j_, n_ = i_[keep], j_[keep], n_[keep]
+
+        score = 2.0 * n_ / (nwp[i_] + nwp[j_])
+        Ct = np.einsum("pab,pb->pa", R[i_], C[j_]) + t[i_]
+        dist_score = np.abs(Ct[:, 0]) + np.abs(Ct[:, 1])
+        baseline_ok = np.linalg.norm(C[i_] - C[j_], axis=1) > 0.1
+
+        # sort all candidates by (row, -score, target) and slice per row
+        order = np.lexsort((j_, -score, i_))
+        i_, j_ = i_[order], j_[order]
+        score, dist_score = score[order], dist_score[order]
+        baseline_ok = baseline_ok[order]
+        starts = np.searchsorted(i_, np.arange(V + 1))
+
+        # ---- per-view top-N with baseline-diversity rerank ----
+        for ci in todo:
+            lo, hi = starts[ci], starts[ci + 1]
+            cand = list(zip(score[lo:hi], dist_score[lo:hi],
+                            j_[lo:hi], baseline_ok[lo:hi]))
             if len(cand) > N:
                 score_t = 0.80 * cand[0][0]
                 big = [x for x in cand if x[0] > score_t]
@@ -843,13 +884,13 @@ class Line3D:
             else:
                 merged = cand
             used: list[int] = []
-            for _, _, v2_id in merged:
+            for _, _, vj, bok in merged:
                 if len(used) >= N:
                     break
-                v2 = cams[cam_ids.index(v2_id)]
-                if v2_id not in used and np.linalg.norm(v.C - v2.C) > 0.1:
+                v2_id = cam_ids[vj]
+                if v2_id not in used and bok:
                     used.append(v2_id)
-            out[c] = used
+            out[cam_ids[ci]] = used
         return out
 
     # ------------------------------------------------------------------

@@ -99,3 +99,15 @@ def test_camera_batch_centering(rng):
         assert np.allclose(cb.C[i], (cam.C - tr).astype(np.float32), atol=1e-5)
         # centered t must be consistent: t = -R C_centered
         assert np.allclose(cb.t[i], (-cam.R @ (cam.C - tr)).astype(np.float32), atol=1e-5)
+
+
+def test_fundamental_matrices_batch_matches_single(rng):
+    from line3dpp_tpu.camera import fundamental_matrices
+
+    cams = [random_camera(rng) for _ in range(6)]
+    src = np.array([0, 1, 2, 3, 5, 0, 4])
+    tgt = np.array([1, 0, 5, 4, 2, 3, 4])
+    Fb = fundamental_matrices(cams, src, tgt)
+    for p, (i, j) in enumerate(zip(src, tgt)):
+        np.testing.assert_allclose(Fb[p], fundamental_matrix(cams[i], cams[j]),
+                                   rtol=1e-12, atol=1e-14)
