@@ -21,6 +21,16 @@ class Config:
     min_line_length_factor: float = 0.005   # fraction of image diagonal
     max_line_segments: int = 3000
     load_segments: bool = True         # cache detected 2D segments on disk
+    # annealed extraction rounds of the TPU LSD (ops/lsd._lsd_core) and the
+    # seed-angle gate on each round's initial rectangle fit (lsd.cpp-style
+    # region-angle test, approximated by the strongest pixel's angle +
+    # one re-admission refit).  DEFAULT OFF: measured on the golden
+    # testdata (CPU detections, round 3) it nets NEGATIVE — seed-only
+    # drops recall (count-F1 0.882 vs 0.8855 base), re-admission restores
+    # single-segment coverage (0.876 vs 0.871) but the mod-pi alignment
+    # re-admits anti-parallel edges and count-F1 falls to 0.878.
+    lsd_rounds: int = 3
+    lsd_seed_gate: bool = False
 
     # --- collinearity (reference: commons.h:48) ---
     collinearity_t: float = -1.0       # <=0 disables collinearity edges

@@ -106,7 +106,9 @@ class Line3D:
                                        self.config.max_line_segments,
                                        self.config.max_image_width)
         if segs is None:
-            segs = lsd_ops.detect(image, max_width=self.config.max_image_width)
+            segs = lsd_ops.detect(image, max_width=self.config.max_image_width,
+                                  n_rounds=self.config.lsd_rounds,
+                                  seed_gate=self.config.lsd_seed_gate)
             if cache_dir and self.config.load_segments:
                 segments_cache.store(cache_dir, cam_id, image.shape,
                                      self.config.max_line_segments, segs,
@@ -148,7 +150,9 @@ class Line3D:
         if not todo:
             return
         seg_lists = lsd_ops.detect_batch(
-            [t[2] for t in todo], max_width=self.config.max_image_width)
+            [t[2] for t in todo], max_width=self.config.max_image_width,
+            n_rounds=self.config.lsd_rounds,
+            seed_gate=self.config.lsd_seed_gate)
         for (cam_id, camera, image, wps), segs in zip(todo, seg_lists):
             if cache_dir and self.config.load_segments:
                 segments_cache.store(cache_dir, cam_id, image.shape,

@@ -211,11 +211,12 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
-    "link_cap", "rect_improve"))
+    "link_cap", "rect_improve", "seed_gate"))
 def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
-               link_tol, *, th: int, tw: int, c_cap: int, hw2: int,
-               cc_iters: int, refine_iters: int, use_pallas_cc: bool,
-               link_cap: int = 0, rect_improve: bool = False):
+               link_tol, do_consume, *, th: int, tw: int, c_cap: int,
+               hw2: int, cc_iters: int, refine_iters: int,
+               use_pallas_cc: bool, link_cap: int = 0,
+               rect_improve: bool = False, seed_gate: bool = False):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  All three annealed rounds share
     this single compiled program (the link tolerance is a traced scalar;
@@ -398,6 +399,35 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         # density refinement (lsd.cpp `refine`/`reduce_region_radius`):
         # failing components shrink toward their fitted axis and refit
         pix = part_s.astype(jnp.float32)
+        if seed_gate:
+            # seed-angle gate on the INITIAL fit (lsd.cpp grows regions from
+            # magnitude-ordered seeds and admits pixels aligned within
+            # ANG_TH of the running region angle, lsd.cpp:1704-1754).  Pure
+            # pairwise linking chains smoothly-curving edges; the curved
+            # tail corrupts the first fitted axis, the density refine then
+            # prunes around the wrong axis, and the true straight edge
+            # fragments into abutting pieces (round-2 diagnostic: 13% of the
+            # reference's surviving segments only covered piecewise, median
+            # gap 1.3 px).  Approximating the region angle by the strongest
+            # pixel's level-line angle un-corrupts the initial fit; gated-
+            # out pixels stay unconsumed and re-cluster in later rounds.
+            in_part = jnp.where(part_s, mag_s, -big)
+            mmax = jax.ops.segment_max(in_part, slot, c_cap + 1)[:c_cap]
+            is_root = part_s & (mag_s >= expand(mmax, big))
+            root_ang = jax.ops.segment_max(
+                jnp.where(is_root, ang_s, -big), slot, c_cap + 1)[:c_cap]
+            dang = jnp.abs(ang_s - expand(root_ang, _BIG_ANGLE))
+            dang = jnp.where(dang > 2.0 * jnp.pi, dang - 2.0 * jnp.pi, dang)
+            dang = jnp.where(dang > jnp.pi, 2.0 * jnp.pi - dang, dang)
+            seed_ok = (dang <= jnp.float32(math.radians(ANG_TH))) | (slot >= c_cap)
+            f0 = fit(pix * seed_ok.astype(jnp.float32))
+            # ... then re-admit every component pixel aligned (mod pi) with
+            # that axis — one "region angle drift" update, so pixels whose
+            # angle differs from the noisy seed but agrees with the fitted
+            # direction are not lost (the seed-only gate measurably dropped
+            # recall on the golden testdata)
+            gate_all = jnp.full((c_cap,), big)
+            pix = gated_pix(f0, gate_all, pix, True)
         f = fit(pix)
         for _ in range(refine_iters):
             half_w = jnp.maximum(
@@ -459,14 +489,23 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             ok = ok | (comp_exists & ok_b.any(axis=0))
 
         # remove accepted rectangles' pixels for the next round: any
-        # participating pixel within the accepted rectangle's width band
-        half_final = jnp.maximum(jnp.abs(f["wmin"]), jnp.abs(f["wmax"])) + 0.75
-        hf_gate = jnp.where(ok, half_final, -1.0)
-        consumed_s = gated_pix(f, hf_gate, part_s.astype(jnp.float32),
-                               False) != 0.0
-        consumed_d = jnp.zeros((HWp,), bool).at[
-            jnp.where(consumed_s, idx_s, HWp)].set(True, mode="drop")
-        active_next = active_d & ~consumed_d.reshape(hp, wp)
+        # participating pixel within the accepted rectangle's width band.
+        # The final round's active set is never read, so the gate + NC-wide
+        # scatter (~60 ms on a v5e) are skipped at runtime via lax.cond —
+        # `do_consume` stays a TRACED flag so all rounds share one compiled
+        # program (a static flag would double the 7-15 min remote compile).
+        def _consume(_):
+            half_final = jnp.maximum(jnp.abs(f["wmin"]),
+                                     jnp.abs(f["wmax"])) + 0.75
+            hf_gate = jnp.where(ok, half_final, -1.0)
+            consumed_s = gated_pix(f, hf_gate, part_s.astype(jnp.float32),
+                                   False) != 0.0
+            consumed_d = jnp.zeros((HWp,), bool).at[
+                jnp.where(consumed_s, idx_s, HWp)].set(True, mode="drop")
+            return active_d & ~consumed_d.reshape(hp, wp)
+
+        active_next = jax.lax.cond(do_consume, _consume,
+                                   lambda _: active_d, operand=None)
 
         # endpoints in subsampled coords -> original coords
         # (/SCALE upscale as lsd.cpp:2103-2108)
@@ -486,7 +525,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
               use_link_cap: bool = True, rect_improve: bool = False,
-              c_cap_scale: int = 1):
+              c_cap_scale: int = 1, seed_gate: bool = False):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -518,13 +557,15 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 if (use_link_cap and use_pallas_cc) else 0)
     all_segs, all_ok, link_counts, ncomps, unconv = [], [], [], [], []
     diag = None
-    for link_tol in (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]:
+    tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
+    for r, link_tol in enumerate(tols):
         segs_r, ok_r, active_d, diag = _lsd_round(
             angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
-            link_tol, th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
+            link_tol, jnp.bool_(r + 1 < len(tols)),
+            th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
-            rect_improve=rect_improve)
+            rect_improve=rect_improve, seed_gate=seed_gate)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
@@ -647,7 +688,8 @@ def _detect_prep(image: np.ndarray, max_width: int):
 
 
 def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
-                     rect_improve: bool = False):
+                     rect_improve: bool = False, n_rounds: int = 3,
+                     seed_gate: bool = False):
     """Sync a submitted `_detect_compact`, running the (rare) capped-path
     fallbacks, and return host segments in original image coordinates.
 
@@ -662,7 +704,8 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     * accepted-segment transfer cap -> re-run with a larger transfer buffer.
     """
     H, W = img.shape
-    kw = dict(rect_improve=rect_improve)
+    kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
+              seed_gate=seed_gate)
     pallas_cc = use_pallas_cc
     for _ in range(6):  # each fallback fires at most once + final unpack
         (segs, ok, n_ok, used_count, nc_cap, link_count, link_cap,
@@ -718,7 +761,8 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     return segs * ds
 
 
-def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
+def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
+           seed_gate: bool = False) -> np.ndarray:
     """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
     original image coordinates.
 
@@ -726,11 +770,13 @@ def detect(image: np.ndarray, max_width: int = -1) -> np.ndarray:
     grayscale conversion and optional downscale to ``max_width`` happen
     here; the min-length/top-k filters live in the pipeline's add_view.
     """
-    return detect_batch([image], max_width=max_width, depth=1)[0]
+    return detect_batch([image], max_width=max_width, depth=1,
+                        n_rounds=n_rounds, seed_gate=seed_gate)[0]
 
 
 def detect_batch(images, max_width: int = -1, depth: int = 2,
-                 rect_improve: bool = False) -> list:
+                 rect_improve: bool = False, n_rounds: int = 3,
+                 seed_gate: bool = False) -> list:
     """Pipelined detection over several images.
 
     JAX dispatch is asynchronous: submitting image i+1's program before
@@ -741,6 +787,8 @@ def detect_batch(images, max_width: int = -1, depth: int = 2,
     gradient field + label grid each, ~60 MB at 3072x2304).
     """
     use_pallas_cc = jax.default_backend() == "tpu"
+    kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
+              seed_gate=seed_gate)
     results = []
     inflight: list = []
     for image in images:
@@ -748,15 +796,12 @@ def detect_batch(images, max_width: int = -1, depth: int = 2,
         d_img = jnp.asarray(img)
         H, W = img.shape
         inflight.append(
-            (d_img, _detect_compact(d_img, H, W, use_pallas_cc,
-                                    rect_improve=rect_improve), ds))
+            (d_img, _detect_compact(d_img, H, W, use_pallas_cc, **kw), ds))
         if len(inflight) >= depth:
             d, out, dsf = inflight.pop(0)
-            results.append(_detect_finalize(d, out, use_pallas_cc, dsf,
-                                            rect_improve))
+            results.append(_detect_finalize(d, out, use_pallas_cc, dsf, **kw))
     for d, out, dsf in inflight:
-        results.append(_detect_finalize(d, out, use_pallas_cc, dsf,
-                                        rect_improve))
+        results.append(_detect_finalize(d, out, use_pallas_cc, dsf, **kw))
     return results
 
 
@@ -766,18 +811,21 @@ _MAX_RAW_SEGMENTS = 32768
 @functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
                                               "nc_scale", "use_link_cap",
                                               "rect_improve", "c_cap_scale",
-                                              "seg_cap"))
+                                              "seg_cap", "seed_gate",
+                                              "n_rounds"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
-                    c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS):
+                    c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
+                    seed_gate: bool = False, n_rounds: int = 3):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
-    segs, ok, diag = _lsd_core(img, H, W, use_pallas_cc=use_pallas_cc,
+    segs, ok, diag = _lsd_core(img, H, W, n_rounds=n_rounds,
+                               use_pallas_cc=use_pallas_cc,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
                                rect_improve=rect_improve,
-                               c_cap_scale=c_cap_scale)
+                               c_cap_scale=c_cap_scale, seed_gate=seed_gate)
     idx = jnp.nonzero(ok, size=seg_cap, fill_value=-1)[0]
     valid = idx >= 0
     return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),

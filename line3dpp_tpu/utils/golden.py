@@ -125,7 +125,27 @@ def line_match_metrics(
     """
     if not pred_lines or not gold_lines:
         return {"count_recall": 0.0, "count_precision": 0.0, "count_f1": 0.0}
+    match_of_g, match_of_p = _line_match(pred_lines, gold_lines, tol,
+                                         coverage_t, samples_per_seg)
+    count_recall = float((match_of_g >= 0).mean())
+    count_precision = float((match_of_p >= 0).sum() / len(pred_lines))
+    f1 = (2 * count_recall * count_precision
+          / max(count_recall + count_precision, 1e-12))
+    return {"count_recall": count_recall, "count_precision": count_precision,
+            "count_f1": f1}
 
+
+def line_match_assignment(pred_lines, gold_lines, tol, coverage_t=0.8,
+                          samples_per_seg=8) -> dict:
+    """The maximum 1-1 matching itself: {golden index -> pred index}."""
+    if not pred_lines or not gold_lines:
+        return {}
+    match_of_g, _ = _line_match(pred_lines, gold_lines, tol, coverage_t,
+                                samples_per_seg)
+    return {int(i): int(j) for i, j in enumerate(match_of_g) if j >= 0}
+
+
+def _line_match(pred_lines, gold_lines, tol, coverage_t, samples_per_seg):
     # coverage[i, j] = fraction of golden line i's length within tol of
     # predicted line j
     gold_pts, gold_w, gold_of = [], [], []
@@ -198,12 +218,7 @@ def line_match_metrics(
         if match_of_g[i] < 0 and len(adj[i]):
             _augment(i)
 
-    count_recall = float((match_of_g >= 0).mean())
-    count_precision = float((match_of_p >= 0).sum() / n_p)
-    f1 = (2 * count_recall * count_precision
-          / max(count_recall + count_precision, 1e-12))
-    return {"count_recall": count_recall, "count_precision": count_precision,
-            "count_f1": f1}
+    return match_of_g, match_of_p
 
 
 def stack_golden_segments(lines: list[GoldenLine]) -> np.ndarray:

@@ -148,6 +148,7 @@ def main():
     # whole round, compiled standalone (shares the cache with _lsd_core)
     rnd = lambda: lsd._lsd_round(
         angle, used, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c, prec,
+        jnp.bool_(True),
         th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2, cc_iters=16,
         refine_iters=2, use_pallas_cc=True, link_cap=cap)
     print(f"full _lsd_round   : {timeit(rnd, n=2):8.1f} ms", flush=True)

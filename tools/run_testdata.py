@@ -54,8 +54,11 @@ def main():
                   if a.startswith("--split=")), None)
     cache = next((a.split("=", 1)[1] for a in sys.argv
                   if a.startswith("--cache=")), CACHE)
+    rounds = next((int(a.split("=")[1]) for a in sys.argv
+                   if a.startswith("--rounds=")), 3)
     cams = json.load(open(CAMS))
-    cfg = l3d.Config(optimize=optimize, view_block=block)
+    cfg = l3d.Config(optimize=optimize, view_block=block, lsd_rounds=rounds,
+                     lsd_seed_gate="--no-seed-gate" not in sys.argv)
     if split is not None:
         cfg = dataclasses.replace(cfg, split_bimodal_t=split)
     pipe = l3d.Line3D(cfg)
