@@ -69,9 +69,13 @@ class Config:
     # line by >= this many sigma (pixel-equivalent k*depth units); close
     # parallel structure lines otherwise merge through estimate noise
     # (no reference counterpart — see pipeline._split_bimodal_clusters).
-    # <= 0 disables.  Re-calibrated for the TPU-path detections: the golden
-    # count-F1 plateaus at ~0.894 over t in [1.0, 1.25] (0.888 at 1.5).
-    split_bimodal_t: float = 1.1
+    # <= 0 disables.  DEFAULT OFF since round 3: the 1.1 calibration adds
+    # +0.010 count-F1 on the golden testdata (0.8852 -> 0.8948, committed
+    # TPU detections) but LOSES ~0.03 on an independent synthetic facade
+    # by over-splitting clean clusters (SECOND_SCENE.md) — it is a
+    # testdata-tuned compensation, not transferable geometry.  Re-enable
+    # with Config(split_bimodal_t=1.1) / run_testdata --split=1.1.
+    split_bimodal_t: float = 0.0
 
     # --- bundling / optimization (reference: commons.h:83-88) ---
     optimize: bool = True              # batched LM line bundling (Ceres-equivalent)

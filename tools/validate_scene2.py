@@ -84,12 +84,15 @@ def build_scene():
     quads += [("dark", roof), ("dark", base)]
     gt += rect_edges(roof) + rect_edges(base)
 
-    th = np.deg2rad(28.0)
+    # diagonal brace in the horizontal band BETWEEN the window rows (no
+    # crossings: a crossing fragments edges in 2D and the granularity
+    # noise would confound the split/symmetrization comparison)
+    th = np.deg2rad(4.0)
     dvec = np.array([np.cos(th), np.sin(th), 0.0])
     perp = np.array([-np.sin(th), np.cos(th), 0.0]) * 0.07
-    c0 = np.array([-3.0, -0.1, 10.0])
-    brace = np.stack([c0 - perp, c0 + 3.4 * dvec - perp,
-                      c0 + 3.4 * dvec + perp, c0 + perp])
+    c0 = np.array([-3.6, -0.22, 10.0])
+    brace = np.stack([c0 - perp, c0 + 7.0 * dvec - perp,
+                      c0 + 7.0 * dvec + perp, c0 + perp])
     quads.append(("dark", brace))
     gt.append(np.concatenate([brace[0], brace[1]]))
     gt.append(np.concatenate([brace[3], brace[2]]))
@@ -102,10 +105,13 @@ def make_cameras(V=10, seed=11):
     K = np.array([[900.0, 0, W / 2], [0, 900.0, H / 2], [0, 0, 1]])
     cams = []
     for i in range(V):
-        C = np.array([-2.7 + 0.6 * i, rng.normal() * 0.15,
+        # slanted track: baseline has both x and y components so neither
+        # horizontal nor vertical facade edges are epipolar-degenerate
+        C = np.array([-2.7 + 0.55 * i, -0.9 + 0.22 * i + rng.normal() * 0.1,
                       rng.normal() * 0.25])
         yaw = -0.05 * (i - V / 2) + rng.normal() * 0.01
-        R = rotation_from_rpy(rng.normal() * 0.01, yaw, rng.normal() * 0.01)
+        pitch = 0.02 * (i - V / 2) + rng.normal() * 0.01
+        R = rotation_from_rpy(pitch, yaw, rng.normal() * 0.01)
         cams.append(l3d.Camera(K, R, -R @ C, W, H))
     return cams
 
@@ -147,7 +153,8 @@ def run_config(images, cams, split_t, sym, optimize=False):
                      split_bimodal_t=split_t, match_symmetrization=sym)
     pipe = l3d.Line3D(cfg)
     pipe.add_images([(i, cam, img) for i, (cam, img)
-                     in enumerate(zip(cams, images))])
+                     in enumerate(zip(cams, images))],
+                    cache_dir="/tmp/scene2_cache")  # share detections
     pipe.match_images()
     lines = pipe.reconstruct_3d_lines()
     return lines
