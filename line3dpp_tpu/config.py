@@ -56,6 +56,16 @@ class Config:
     min_similarity_3d: float = 0.50
     min_best_score_3d: float = 0.75
     min_best_score_perc: float = 0.10
+    # per-SEGMENT relative score cut for affinity edges (no reference
+    # counterpart — the reference's 10%-of-max cut is per VIEW,
+    # filterMatches line3D.cc:1607-1612, so a weak cross-line match of a
+    # strong segment survives it).  A kept match only produces an affinity
+    # edge when score >= match_rel_cut * best_score(segment).  Measured on
+    # the golden testdata (tools/diag_tail_ratio.py): same-line matches
+    # score 0.90x their segment's best (median) while cross-line matches in
+    # merged parallel bundles score 0.35x — the two populations separate.
+    # <= 0 disables.
+    match_rel_cut: float = 0.0
 
     # --- replicator dynamics diffusion (reference: commons.h:64-65) ---
     perform_rdd: bool = False
@@ -76,6 +86,13 @@ class Config:
     # testdata-tuned compensation, not transferable geometry.  Re-enable
     # with Config(split_bimodal_t=1.1) / run_testdata --split=1.1.
     split_bimodal_t: float = 0.0
+    # restrict the split DECISION to members whose best score is >= this
+    # (score ~ confirming cameras; 3.0 = 3-camera-confirmed).  Merged
+    # bundles carry a fog of 1-2-camera members with large depth errors
+    # that dominated the all-member PCA axis and masked the lateral core
+    # separation (tools/diag_bridge_classes.py).  <= 0: legacy all-member
+    # behavior.
+    split_strong_min: float = 0.0
 
     # --- bundling / optimization (reference: commons.h:83-88) ---
     optimize: bool = True              # batched LM line bundling (Ceres-equivalent)

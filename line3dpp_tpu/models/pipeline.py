@@ -35,6 +35,14 @@ from ..utils.writers import FinalLine3D, save_bin, save_obj, save_stl, save_txt
 EPS = 1e-12
 
 
+@jax.jit
+def _rel_cut_mask(edge_valid, score3d, kept, rel):
+    """Affinity edges whose match scores >= rel * its segment's best kept
+    score (Config.match_rel_cut; see reconstruct_3d_lines)."""
+    best = jnp.max(jnp.where(kept, score3d, 0.0), axis=-1, keepdims=True)
+    return edge_valid & (score3d >= rel * best)
+
+
 @dataclasses.dataclass
 class _ViewEntry:
     cam_id: int
@@ -477,6 +485,22 @@ class Line3D:
             # affinity weights were produced by the fused device step
             aff = st["aff"]
 
+            # optional per-segment relative score cut (Config.match_rel_cut):
+            # a kept match only yields an affinity edge when its score is at
+            # least rel * the segment's best score.  The reference's 10%-cut
+            # is per view (filterMatches line3D.cc:1607-1612) and cannot
+            # remove the weak cross-line tail of strong segments, which is
+            # what bridges close parallel bundles (tools/diag_tail_ratio.py).
+            # The edge survives if EITHER directed instance passes (dedup
+            # below keeps one).  Device-side: O(V*S*M) elementwise, no big
+            # host transfer.
+            if cfg.match_rel_cut > 0 and "score3d" in st:
+                mask = _rel_cut_mask(aff.edge_valid, st["score3d"], fm.kept,
+                                     jnp.float32(cfg.match_rel_cut))
+                aff = aff._replace(
+                    edge_valid=mask,
+                    weight=jnp.where(mask, aff.weight, 0.0))
+
             # --- edge extraction: device-side compaction, then host dedup
             # (line3D.cc:1881-1899).  Only O(E) bytes cross to the host.
             M = aff.weight.shape[2]
@@ -581,9 +605,15 @@ class Line3D:
         # estimates; see tools/diag_bridge_geometry.py) — the reference's
         # sharper estimates keep these apart in the graph itself
         if cfg.split_bimodal_t > 0:
+            m_score = None
+            if cfg.split_strong_min > 0 and "score3d" in st:
+                best = np.asarray(jnp.max(
+                    jnp.where(fm.kept, st["score3d"], 0.0), axis=-1))
+                m_score = best[mv, ms]
             mc, C, lineP1, lineP2, line_dir = self._split_bimodal_clusters(
                 mc, mv, ms, C, lineP1, line_dir, estP1, estP2, st,
-                visibility, cfg.split_bimodal_t)
+                visibility, cfg.split_bimodal_t, m_score=m_score,
+                strong_min=cfg.split_strong_min)
 
         # optional bundling of the cluster lines (reference: optimization.cc)
         if cfg.optimize:
@@ -660,7 +690,8 @@ class Line3D:
     # ------------------------------------------------------------------
     def _split_bimodal_clusters(self, mc, mv, ms, C, lineP1, line_dir,
                                 estP1, estP2, st, visibility, gap_t,
-                                max_depth: int = 2):
+                                max_depth: int = 2, m_score=None,
+                                strong_min: float = 0.0):
         """Split clusters whose members are bimodal in signed perpendicular
         offset from the fitted 3D line (in sigma = k * depth units, the
         affinity's pixel-equivalent scale).
@@ -675,6 +706,15 @@ class Line3D:
         visibility filter anyway, so we keep the cluster whole instead).
         No reference counterpart: this compensates estimate-noise relative
         to the reference (tools/diag_smear_cases.py), not a new feature.
+
+        ``strong_min`` > 0 restricts the split DECISION (principal axis,
+        Otsu gates, visibility) to members whose best match score is at
+        least that value — score ~ number of confirming cameras, so 3.0
+        means 3-camera-confirmed estimates.  Merged bundles carry a fog of
+        1-2-camera members with large depth errors (tools/
+        diag_bridge_classes.py) that previously dominated the PCA axis and
+        masked the lateral core separation; strong members expose it.
+        Weak members are then assigned to the nearer mode.
         """
         from ..ops import fitting as fitting_ops
 
@@ -699,14 +739,24 @@ class Line3D:
             if len(idx) < 4 or depth_lvl >= max_depth:
                 dbg["small"] += depth_lvl == 0
                 continue
+            if strong_min > 0 and m_score is not None:
+                strong = idx[m_score[idx] >= strong_min]
+                if len(strong) < 4:
+                    dbg["small"] += depth_lvl == 0
+                    continue
+            else:
+                strong = idx
             d = line_dir[c]
-            w = pm[idx] - lineP1[c]
+            w = pm[strong] - lineP1[c]
             perp = w - (w @ d)[:, None] * d[None, :]
-            # principal perpendicular axis of this cluster's offsets
+            # principal perpendicular axis of the (strong) offsets
             cov = perp.T @ perp
             _, vecs = np.linalg.eigh(cov)
             u = vecs[:, -1]
-            s = (perp @ u) / sigma[idx]
+            w_all = pm[idx] - lineP1[c]
+            perp_all = w_all - (w_all @ d)[:, None] * d[None, :]
+            s_all = (perp_all @ u) / sigma[idx]
+            s = (perp @ u) / sigma[strong]
             o2 = np.argsort(s)
             ss = s[o2]
             n = len(ss)
@@ -722,9 +772,13 @@ class Line3D:
             delta = mean_hi - mean_lo
             bcv = kk * (n - kk) * delta * delta
             g = int(np.argmax(bcv))
+            # assign ALL members (incl. weak) by the strong-mode midpoint
+            split_t = 0.5 * (mean_lo[g] + mean_hi[g])
+            lo_all = idx[s_all <= split_t]
+            hi_all = idx[s_all > split_t]
             rec = None
             if self._split_records is not None and delta[g] >= 0.5:
-                lo_r, hi_r = idx[o2[: g + 1]], idx[o2[g + 1:]]
+                lo_r, hi_r = lo_all, hi_all
                 var_lo_r = max(csq[g] / (g + 1) - mean_lo[g] ** 2, 0.0)
                 var_hi_r = max((csq[-1] - csq[g]) / (n - g - 1)
                                - mean_hi[g] ** 2, 0.0)
@@ -753,9 +807,14 @@ class Line3D:
             if D < 2.0:
                 dbg["ashman"] += 1
                 continue
-            lo, hi = idx[o2[: g + 1]], idx[o2[g + 1:]]
-            if (len(np.unique(mv[lo])) < visibility
-                    or len(np.unique(mv[hi])) < visibility):
+            lo, hi = lo_all, hi_all
+            # visibility gate on STRONG members per side when gating is on:
+            # a mode is only real if >= visibility cameras confirm it well
+            vis_lo = strong[s <= split_t] if strong_min > 0 else lo
+            vis_hi = strong[s > split_t] if strong_min > 0 else hi
+            if (len(np.unique(mv[vis_lo])) < visibility
+                    or len(np.unique(mv[vis_hi])) < visibility
+                    or not len(lo) or not len(hi)):
                 dbg["vis"] += 1
                 continue
             dbg["split"] += 1

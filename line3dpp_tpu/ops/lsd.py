@@ -244,9 +244,9 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
     if True:
         # --- connected components on the dense grid ---
         if use_pallas_cc:
-            lab_d, cc_conv = lsd_cc.cc_tiles(angle, active_d, link_tol,
-                                             tile=(th, tw))
-            cc_unconverged = jnp.sum(1 - cc_conv)
+            lab_d, cc_unconv = lsd_cc.cc_tiles(angle, active_d, link_tol,
+                                               tile=(th, tw))
+            cc_unconverged = cc_unconv[0, 0]
             T, link_count = lsd_cc.merge_tile_labels(
                 lab_d, angle, active_d, link_tol, tile=(th, tw),
                 link_cap=link_cap)

@@ -114,8 +114,14 @@ def _cc_tile_kernel(tol_ref, angle_ref, act_ref, lab_ref, conv_ref, *, wp: int,
     # convergence signal: a tile that exhausted max_iters with labels still
     # changing (geodesically huge component, e.g. a serpentine region) would
     # silently fragment into several labels — the caller must fall back to
-    # the XLA hook+jump path for that image.
-    conv_ref[0, 0] = jnp.where(changed, jnp.int32(0), jnp.int32(1))
+    # the XLA hook+jump path for that image.  Accumulated into ONE (1, 1)
+    # counter across the (sequential) grid: per-tile (1, 1) SMEM output
+    # blocks over a (gh, gw) array stopped lowering on current libtpu
+    # (block shape must divide (8, 128) or equal the array shape), and the
+    # callers only ever reduce the per-tile grid anyway (ops/lsd.py:249).
+    first = jnp.logical_and(i == 0, j == 0)
+    prev = jnp.where(first, jnp.int32(0), conv_ref[0, 0])
+    conv_ref[0, 0] = prev + jnp.where(changed, jnp.int32(1), jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "max_iters",
@@ -125,11 +131,11 @@ def cc_tiles(angle: jnp.ndarray, active: jnp.ndarray, tol: jnp.ndarray,
              max_iters: int = 2048, check_every: int = 8,
              interpret: bool = False):
     """Tile-local connected components.  ``angle``/``active`` must already be
-    padded to ``tile`` multiples.  Returns ``(labels, converged)``: per-pixel
-    labels that are converged within each tile (compose with
-    :func:`merge_tile_labels`) plus a per-tile 0/1 convergence grid — 0 means
-    the tile hit ``max_iters`` with labels still changing and the result may
-    fragment components."""
+    padded to ``tile`` multiples.  Returns ``(labels, n_unconverged)``:
+    per-pixel labels that are converged within each tile (compose with
+    :func:`merge_tile_labels`) plus a (1, 1) count of tiles that hit
+    ``max_iters`` with labels still changing (their components may
+    fragment); 0 means all tiles converged."""
     hp, wp = angle.shape
     th, tw = tile
     assert hp % th == 0 and wp % tw == 0, (hp, wp, tile)
@@ -150,12 +156,12 @@ def cc_tiles(angle: jnp.ndarray, active: jnp.ndarray, tol: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((th, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct(grid, jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
     )(tol.reshape(1), angle, active.astype(jnp.int32))

@@ -61,6 +61,20 @@ def main():
                      lsd_seed_gate="--no-seed-gate" not in sys.argv)
     if split is not None:
         cfg = dataclasses.replace(cfg, split_bimodal_t=split)
+    relcut = next((float(a.split("=")[1]) for a in sys.argv
+                   if a.startswith("--relcut=")), None)
+    if relcut is not None:
+        cfg = dataclasses.replace(cfg, match_rel_cut=relcut)
+    minbest = next((float(a.split("=")[1]) for a in sys.argv
+                    if a.startswith("--minbest=")), None)
+    if minbest is not None:
+        cfg = dataclasses.replace(cfg, min_best_score_3d=minbest)
+    if "--rdd" in sys.argv:
+        cfg = dataclasses.replace(cfg, perform_rdd=True)
+    strong = next((float(a.split("=")[1]) for a in sys.argv
+                   if a.startswith("--strong=")), None)
+    if strong is not None:
+        cfg = dataclasses.replace(cfg, split_strong_min=strong)
     pipe = l3d.Line3D(cfg)
 
     t0 = time.time()
