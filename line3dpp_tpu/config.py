@@ -93,6 +93,14 @@ class Config:
     # separation (tools/diag_bridge_classes.py).  <= 0: legacy all-member
     # behavior.
     split_strong_min: float = 0.0
+    # two-tier bridge-resistant clustering (ops/clustering.py:
+    # cluster_edges_anchored): nodes with best score >= this value (score ~
+    # confirming cameras) are clustered first; weaker nodes may join a
+    # strong cluster but never merge two of them.  Close parallel bundles
+    # otherwise merge through chains of 1-2-camera fog estimates
+    # (tools/diag_bridge_classes.py).  <= 0: single-pass reference
+    # clustering.  No reference counterpart.
+    cluster_strong_min: float = 0.0
 
     # --- bundling / optimization (reference: commons.h:83-88) ---
     optimize: bool = True              # batched LM line bundling (Ceres-equivalent)

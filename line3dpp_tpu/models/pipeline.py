@@ -560,7 +560,17 @@ class Line3D:
         ej = np.concatenate([lj, li])
         ew = np.concatenate([ww, ww]).astype(np.float32)
 
-        labels = clustering_ops.cluster_edges(ei, ej, ew, len(nodes), cfg.felzenszwalb_c)
+        if cfg.cluster_strong_min > 0 and "score3d" in st:
+            best_sc = np.asarray(jnp.max(
+                jnp.where(fm.kept, st["score3d"], 0.0), axis=-1))
+            strong_node = best_sc[(nodes // S).astype(np.int64),
+                                  (nodes % S).astype(np.int64)] \
+                >= cfg.cluster_strong_min
+            labels = clustering_ops.cluster_edges_anchored(
+                ei, ej, ew, len(nodes), strong_node, cfg.felzenszwalb_c)
+        else:
+            labels = clustering_ops.cluster_edges(
+                ei, ej, ew, len(nodes), cfg.felzenszwalb_c)
 
         # --- group nodes into clusters with >= visibility distinct cameras ---
         node_view = (nodes // S).astype(np.int32)

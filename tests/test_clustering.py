@@ -49,3 +49,42 @@ def test_strong_cliques_cluster_together():
     assert len(set(labels[:4])) == 1
     assert len(set(labels[4:])) == 1
     assert labels[0] != labels[7]
+
+
+def test_anchored_all_weak_matches_plain(rng):
+    # with no strong nodes the anchor constraint never fires: identical
+    # partition to the single-pass reference clustering
+    i, j, w = _random_edges(rng)
+    strong = np.zeros(200, bool)
+    lab_a = clustering.cluster_edges_anchored(i, j, w, 200, strong, 3.0)
+    lab_p = clustering.cluster_edges(i, j, w, 200, 3.0)
+    _, a = np.unique(lab_a, return_inverse=True)
+    _, b = np.unique(lab_p, return_inverse=True)
+    np.testing.assert_array_equal(
+        a[:, None] == a[None, :], b[:, None] == b[None, :])
+
+
+def test_anchored_blocks_weak_bridge():
+    # two strong cliques joined ONLY through a weak node with cheap edges:
+    # plain clustering merges everything; anchored keeps the strong
+    # clusters apart (the weak bridge node joins one of them)
+    edges = []
+    for base in (0, 3):
+        for a in range(3):
+            for b in range(a + 1, 3):
+                edges.append((base + a, base + b, 0.1))
+    edges.append((2, 6, 0.15))   # strong A -> weak bridge
+    edges.append((6, 3, 0.15))   # weak bridge -> strong B
+    i = np.array([e[0] for e in edges], np.int32)
+    j = np.array([e[1] for e in edges], np.int32)
+    w = np.array([e[2] for e in edges], np.float32)
+    strong = np.array([1, 1, 1, 1, 1, 1, 0], bool)
+
+    lab_p = clustering.cluster_edges(i, j, w, 7, 3.0)
+    assert len(set(lab_p.tolist())) == 1          # plain: all merged
+
+    lab_a = clustering.cluster_edges_anchored(i, j, w, 7, strong, 3.0)
+    assert lab_a[0] == lab_a[1] == lab_a[2]
+    assert lab_a[3] == lab_a[4] == lab_a[5]
+    assert lab_a[0] != lab_a[3]                   # strong clusters separate
+    assert lab_a[6] in (lab_a[0], lab_a[3])       # bridge joined one side

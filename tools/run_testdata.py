@@ -75,6 +75,10 @@ def main():
                    if a.startswith("--strong=")), None)
     if strong is not None:
         cfg = dataclasses.replace(cfg, split_strong_min=strong)
+    canchor = next((float(a.split("=")[1]) for a in sys.argv
+                    if a.startswith("--canchor=")), None)
+    if canchor is not None:
+        cfg = dataclasses.replace(cfg, cluster_strong_min=canchor)
     pipe = l3d.Line3D(cfg)
 
     t0 = time.time()
