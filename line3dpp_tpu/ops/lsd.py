@@ -211,16 +211,26 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
-    "link_cap", "rect_improve", "seed_gate"))
+    "link_cap", "rect_improve", "seed_gate", "next_nc"))
 def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                link_tol, do_consume, *, th: int, tw: int, c_cap: int,
                hw2: int, cc_iters: int, refine_iters: int,
                use_pallas_cc: bool, link_cap: int = 0,
-               rect_improve: bool = False, seed_gate: bool = False):
+               rect_improve: bool = False, seed_gate: bool = False,
+               next_nc: int = 0):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
-    NFA acceptance -> pixel consumption.  All three annealed rounds share
-    this single compiled program (the link tolerance is a traced scalar;
-    a monolithic 3-round jit took >30 min to compile on the axon relay)."""
+    NFA acceptance -> pixel consumption.  The annealed rounds share
+    compiled subprograms per pixel-list size (the link tolerance is a
+    traced scalar; a monolithic 3-round jit took >30 min to compile on
+    the axon relay).
+
+    ``next_nc`` > 0 additionally returns the surviving active pixels
+    compacted (label-partition sort, actives first) and sliced to that
+    static size, so later rounds run on a ~2x shorter pixel list instead
+    of re-sorting/re-fitting the full compaction with 40-60% of entries
+    consumed (NEXT.md round-2 budget: ~180 ms of each round scales with
+    list length).  The compaction happens inside the ``do_consume``
+    branch — the final round skips it at runtime."""
     from . import lsd_cc
 
     hp, wp = angle.shape
@@ -502,10 +512,35 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                                    False) != 0.0
             consumed_d = jnp.zeros((HWp,), bool).at[
                 jnp.where(consumed_s, idx_s, HWp)].set(True, mode="drop")
-            return active_d & ~consumed_d.reshape(hp, wp)
+            active_next = active_d & ~consumed_d.reshape(hp, wp)
+            if not next_nc:
+                return active_next
+            # partition the sorted pixel list: survivors first (stable ->
+            # they stay label-ordered), then slice to the static next_nc.
+            # A sort is ~10x cheaper than the equivalent nonzero+gathers
+            # at this size (SPEED.md fact 1).
+            alive = (key_s < int_max) & ~consumed_s
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            key2 = jnp.where(alive, 0, 1).astype(jnp.int32)
+            _, idx2, xs2, ys2, mag2, ang2 = jax.lax.sort(
+                (key2, jnp.where(alive, idx_s, HWp), xs_s, ys_s, mag_s,
+                 jnp.where(alive, ang_s, _BIG_ANGLE)), num_keys=1)
+            return (active_next, (idx2[:next_nc], xs2[:next_nc],
+                                  ys2[:next_nc], mag2[:next_nc],
+                                  ang2[:next_nc]), n_alive)
 
-        active_next = jax.lax.cond(do_consume, _consume,
-                                   lambda _: active_d, operand=None)
+        def _no_consume(_):
+            if not next_nc:
+                return active_d
+            z = jnp.zeros((next_nc,), jnp.float32)
+            return (active_d, (jnp.full((next_nc,), HWp, idx_used.dtype),
+                               z, z, z, z), jnp.int32(0))
+
+        out_c = jax.lax.cond(do_consume, _consume, _no_consume, operand=None)
+        if next_nc:
+            active_next, next_compact, n_alive = out_c
+        else:
+            active_next, next_compact, n_alive = out_c, None, jnp.int32(0)
 
         # endpoints in subsampled coords -> original coords
         # (/SCALE upscale as lsd.cpp:2103-2108)
@@ -517,15 +552,17 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         segs = jnp.stack([ex1, ey1, ex2, ey2], axis=-1)
         diag = dict(npix=f["npix"], density=f["density"], log_nfa=log_nfa,
                     length=f["length"], width=f["width"], ncomp=ncomp,
-                    link_count=link_count, cc_unconverged=cc_unconverged)
-        return segs, ok, active_next, diag
+                    link_count=link_count, cc_unconverged=cc_unconverged,
+                    n_alive=n_alive)
+        return segs, ok, active_next, diag, next_compact
 
 
 def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
               use_link_cap: bool = True, rect_improve: bool = False,
-              c_cap_scale: int = 1, seed_gate: bool = False):
+              c_cap_scale: int = 1, seed_gate: bool = False,
+              shrink_scale: float = 0.50):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -555,22 +592,39 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     active_d = used
     link_cap = (lsd_cc.auto_link_cap((hp, wp), (th, tw))
                 if (use_link_cap and use_pallas_cc) else 0)
-    all_segs, all_ok, link_counts, ncomps, unconv = [], [], [], [], []
+    # rounds 2+ run on the surviving actives compacted to NC2 (round 1
+    # consumes into accepted rectangles; measured post-round-1 active
+    # fraction 0.30-0.47 of h2*w2 across the 26 testdata images on the
+    # TPU path — 0.50 clears all of them, and the cost model favors a
+    # no-fallback cap: at 0.40 three images overflowed and their doubled
+    # detect cost ate the 0.40-vs-0.50 per-round saving) — overflow is
+    # checked against diag n_alive and falls back to the unshrunk path
+    # in _detect_finalize
+    NC2 = (min(NC, _round_up(int(shrink_scale * h2 * w2) + 1024, 1024))
+           if (shrink_scale > 0 and n_rounds > 1) else 0)
+    all_segs, all_ok, link_counts, ncomps, unconv, alive = [], [], [], [], [], []
     diag = None
     tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
+    cur = (idx_used, cvalid, xs_c, ys_c, mag_c, ang_c)
     for r, link_tol in enumerate(tols):
-        segs_r, ok_r, active_d, diag = _lsd_round(
-            angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
+        idx_r, cvalid_r, xs_r, ys_r, mag_r, ang_r = cur
+        segs_r, ok_r, active_d, diag, nxt = _lsd_round(
+            angle, active_d, idx_r, cvalid_r, xs_r, ys_r, mag_r, ang_r,
             link_tol, jnp.bool_(r + 1 < len(tols)),
             th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
-            rect_improve=rect_improve, seed_gate=seed_gate)
+            rect_improve=rect_improve, seed_gate=seed_gate, next_nc=NC2)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
         ncomps.append(diag["ncomp"])
         unconv.append(diag["cc_unconverged"])
+        if r + 1 < len(tols):
+            alive.append(diag["n_alive"])
+        if nxt is not None:
+            idx2, xs2, ys2, mag2, ang2 = nxt
+            cur = (idx2, idx2 < hp * wp, xs2, ys2, mag2, ang2)
 
     segs = jnp.concatenate(all_segs, axis=0)
     ok = jnp.concatenate(all_ok, axis=0)
@@ -578,7 +632,10 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 link_count=jnp.max(jnp.stack(link_counts)),
                 link_cap=link_cap,
                 ncomp=jnp.max(jnp.stack(ncomps)),
-                cc_unconverged=jnp.max(jnp.stack(unconv)))
+                cc_unconverged=jnp.max(jnp.stack(unconv)),
+                n_alive=(jnp.max(jnp.stack(alive)) if alive
+                         else jnp.int32(0)),
+                nc2_cap=NC2)
     return segs, ok, diag
 
 
@@ -672,18 +729,24 @@ def merge_collinear(segs: np.ndarray, angle_tol_deg: float = 2.0,
 
 def _detect_prep(image: np.ndarray, max_width: int):
     """Grayscale conversion + optional downscale (line3D.cc:249-372).
-    Returns (f32 image, downscale factor)."""
+    Returns (grayscale image, downscale factor).  The image stays uint8
+    when it arrives uint8: the relay uplink runs at ~90 MB/s, so shipping
+    a 3072x2304 frame as 7 MB u8 instead of 28 MB f32 saves ~0.2 s/image
+    (tools/bench_relay.py); `_detect_compact` casts on device."""
     img = np.asarray(image)
     if img.ndim == 3:
-        img = img @ np.array([0.299, 0.587, 0.114])  # RGB -> luma (PIL order)
-    img = img.astype(np.float32)
+        # RGB -> luma (PIL order); stays u8 when the input is u8
+        img = (img @ np.array([0.299, 0.587, 0.114])).astype(img.dtype)
 
     H0, W0 = img.shape
     ds = 1.0
     if max_width > 0 and W0 > max_width:
         ds = W0 / max_width
         nh, nw = int(round(H0 / ds)), max_width
-        img = np.asarray(_bilinear_resize(jnp.asarray(img), nh, nw))
+        img = np.asarray(_bilinear_resize(
+            jnp.asarray(img, jnp.float32), nh, nw))
+    if img.dtype != np.uint8:
+        img = img.astype(np.float32)
     return img, ds
 
 
@@ -707,9 +770,12 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
               seed_gate=seed_gate)
     pallas_cc = use_pallas_cc
-    for _ in range(6):  # each fallback fires at most once + final unpack
+    for _ in range(7):  # each fallback fires at most once + final unpack
+        # one batched device_get: the scalar diag reads below would
+        # otherwise each pay a separate relay round trip
+        out = jax.device_get(out)
         (segs, ok, n_ok, used_count, nc_cap, link_count, link_cap,
-         ncomp, c_cap, cc_unconv) = out
+         ncomp, c_cap, cc_unconv, n_alive, nc2_cap) = out
         if pallas_cc and int(cc_unconv) > 0:
             # a CC tile exhausted its in-VMEM sweep budget (geodesically
             # huge component): its labels may fragment one component —
@@ -731,6 +797,14 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
                   f"the {nc_cap} compaction cap; re-running uncompacted",
                   flush=True)
             kw.update(nc_scale=1.0, use_link_cap=False)
+        elif int(nc2_cap) and int(n_alive) > int(nc2_cap):
+            # inter-round shrink cap overflow (round 1 consumed little):
+            # survivors beyond NC2 would be dropped from rounds 2+ —
+            # re-run with the shrink disabled
+            print(f"[L3D-TPU] LSD: {int(n_alive)} surviving active pixels "
+                  f"exceed the {int(nc2_cap)} inter-round cap; re-running "
+                  "unshrunk", flush=True)
+            kw.update(shrink_scale=0.0)
         elif int(ncomp) > c_cap:
             # component-table overflow: components beyond c_cap route to
             # the dump slot and their segments would be silently dropped —
@@ -774,17 +848,18 @@ def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
                         n_rounds=n_rounds, seed_gate=seed_gate)[0]
 
 
-def detect_batch(images, max_width: int = -1, depth: int = 2,
+def detect_batch(images, max_width: int = -1, depth: int = 3,
                  rect_improve: bool = False, n_rounds: int = 3,
                  seed_gate: bool = False) -> list:
     """Pipelined detection over several images.
 
     JAX dispatch is asynchronous: submitting image i+1's program before
-    reading back image i's results overlaps the ~0.5 s/image host
-    compaction + transfer with the next image's device compute (a ~25%
-    cold-run win at testdata scale; no effect on results).  ``depth``
-    bounds the number of in-flight programs (device memory: one padded
-    gradient field + label grid each, ~60 MB at 3072x2304).
+    reading back image i's results overlaps the ~0.3 s/image uplink +
+    host readback with the next image's device compute (a ~25% cold-run
+    win at testdata scale; no effect on results).  ``depth`` bounds the
+    number of in-flight programs (device memory: one padded gradient
+    field + label grid each, ~60 MB at 3072x2304); 3 rides out single
+    slow relay round trips that depth 2 stalls on.
     """
     use_pallas_cc = jax.default_backend() == "tpu"
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
@@ -812,23 +887,26 @@ _MAX_RAW_SEGMENTS = 32768
                                               "nc_scale", "use_link_cap",
                                               "rect_improve", "c_cap_scale",
                                               "seg_cap", "seed_gate",
-                                              "n_rounds"))
+                                              "n_rounds", "shrink_scale"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
                     c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
-                    seed_gate: bool = False, n_rounds: int = 3):
+                    seed_gate: bool = False, n_rounds: int = 3,
+                    shrink_scale: float = 0.50):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
+    img = img.astype(jnp.float32)    # u8 uplink, f32 compute
     segs, ok, diag = _lsd_core(img, H, W, n_rounds=n_rounds,
                                use_pallas_cc=use_pallas_cc,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
                                rect_improve=rect_improve,
-                               c_cap_scale=c_cap_scale, seed_gate=seed_gate)
+                               c_cap_scale=c_cap_scale, seed_gate=seed_gate,
+                               shrink_scale=shrink_scale)
     idx = jnp.nonzero(ok, size=seg_cap, fill_value=-1)[0]
     valid = idx >= 0
     return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),
             diag["used_count"], diag["nc_cap"], diag["link_count"],
             diag["link_cap"], diag["ncomp"], diag["c_cap"],
-            diag["cc_unconverged"])
+            diag["cc_unconverged"], diag["n_alive"], diag["nc2_cap"])

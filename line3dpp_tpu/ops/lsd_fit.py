@@ -79,23 +79,28 @@ def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
     # mask is folded into the int32 local ids instead
     local = jnp.where(slot < c_cap, local, WIN + 1)
 
-    res = jnp.zeros((ROWS, WIN), jnp.float32)
+    # one matmul for the whole tile: concatenate the 8 sublane rows along
+    # the contraction axis — (8, 1024) @ (1024, WIN) issues once on the
+    # MXU instead of eight K=128 matmuls (whose issue overhead dominated;
+    # tools/bench_lsd_kernels.py)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
+    feats_l, oh_l = [], []
     for r in range(ROWS):
         x = xs_ref[r:r + 1, :]
         y = ys_ref[r:r + 1, :]
         pixf = pix_ref[r:r + 1, :]
         w = mag_ref[r:r + 1, :] * pixf
-        feats = jnp.concatenate(
+        feats_l.append(jnp.concatenate(
             [w, w * x, w * y, w * x * x, w * y * y, w * x * y, pixf,
-             jnp.zeros_like(w)], axis=0)                      # (8, 128)
-        oh_t = jnp.where(
+             jnp.zeros_like(w)], axis=0))                     # (8, 128)
+        oh_l.append(jnp.where(
             iota_w == local[r:r + 1, :].reshape(LANES, 1),
-            1.0, 0.0)                                         # (128, WIN)
-        res = res + jax.lax.dot_general(
-            feats, oh_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)               # (8, WIN)
+            1.0, 0.0))                                        # (128, WIN)
+    res = jax.lax.dot_general(
+        jnp.concatenate(feats_l, axis=1), jnp.concatenate(oh_l, axis=0),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                   # (8, WIN)
 
     acc_ref[:, pl.ds(lo, WIN)] += res
 
@@ -163,22 +168,39 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
     iota_lw = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    def row_body(i, state):
-        r = ROWS - 1 - i
-        carry_slot, c1, c2, c3, c4, acc = state
-        slot_r = slot_ref[pl.ds(r, 1), :]
-        loc_r = jnp.clip(slot_r - lo, 0, WIN - 1)
-        msk_r = slot_r < c_cap
-        pix_r = pix_ref[pl.ds(r, 1), :]
-        oh = jnp.where((iota_wl == loc_r) & msk_r, 1.0, 0.0)   # (WIN, 128)
-        vals = jax.lax.dot_general(
-            window, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
+    slot = slot_ref[:]
+    msk = slot < c_cap
+    loc = jnp.clip(slot - lo, 0, WIN - 1)
+
+    # the per-row table expansions are independent of the sequential
+    # suffix-min carry: issue them as ONE (8, WIN) @ (WIN, 1024) matmul
+    # up front (eight K=128 matmuls inside the row loop were mostly MXU
+    # issue overhead), then slice per row below
+    ohs = [jnp.where((iota_wl == loc[r:r + 1, :]) & msk[r:r + 1, :],
+                     1.0, 0.0) for r in range(ROWS)]           # (WIN, 128)
+    vals_all = jax.lax.dot_general(
+        window, jnp.concatenate(ohs, axis=1), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                    # (8, 1024)
+
+    # rows processed last-to-first (the suffix-min carry flows backwards);
+    # head contributions are collected and scattered in ONE matmul after
+    # the loop — each row occupies a disjoint K-slice, so the sum over
+    # K = 1024 reproduces the old per-row accumulation exactly
+    carry_slot = jnp.full((1, 1), -1, jnp.int32)
+    carry = [jnp.full((1, 1), BIG, jnp.float32) for _ in range(4)]
+    feats_l = [None] * ROWS
+    oh_l = [None] * ROWS
+    for r in range(ROWS - 1, -1, -1):
+        slot_r = slot[r:r + 1, :]
+        loc_r = loc[r:r + 1, :]
+        msk_r = msk[r:r + 1, :]
+        pix_r = pix_ref[r:r + 1, :]
+        vals = vals_all[:, r * LANES:(r + 1) * LANES]           # (8, 128)
         ct, st = vals[0:1, :], vals[1:2, :]
         cx, cy = vals[2:3, :], vals[3:4, :]
-        dxp = xs_ref[pl.ds(r, 1), :] - cx
-        dyp = ys_ref[pl.ds(r, 1), :] - cy
+        dxp = xs_ref[r:r + 1, :] - cx
+        dyp = ys_ref[r:r + 1, :] - cy
         l_proj = dxp * ct + dyp * st
         w_proj = -dxp * st + dyp * ct
 
@@ -200,39 +222,35 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
         # cross-row carry: the row's tail run may continue into row r+1
         cont = slot_r == carry_slot
         vs = [jnp.where(cont, jnp.minimum(v, c), v)
-              for v, c in zip(vs, (c1, c2, c3, c4))]
+              for v, c in zip(vs, carry)]
 
         # in-tile run heads: previous element (row-major) has another slot;
         # the tile's first element is always a head
         prev_in_row = jnp.roll(slot_r, 1, axis=1)
-        prev_row_last = slot_ref[pl.ds(jnp.maximum(r - 1, 0), 1), :][:, LANES - 1:]
-        prev = jnp.where(lane == 0,
-                         jnp.where(r == 0, jnp.int32(-1), prev_row_last),
-                         prev_in_row)
+        prev = jnp.where(
+            lane == 0,
+            jnp.int32(-1) if r == 0 else slot[r - 1:r, LANES - 1:],
+            prev_in_row)
         hm = jnp.where((slot_r != prev) & msk_r, 1.0, 0.0)
 
         # head scatter as an exact sum matmul: one head per (slot, tile),
         # all other lanes contribute 0; +sb restores values afterwards.
         # Mosaic cannot reshape i1 vectors — fold the mask into the int32
         # local id (poisoned id WIN + 1 never matches), as in _moments_kernel
-        feats = jnp.concatenate(
+        feats_l[r] = jnp.concatenate(
             [hm * (v - sb) for v in vs] + [jnp.zeros_like(hm)] * 4, axis=0)
         loc_m = jnp.where(msk_r, loc_r, WIN + 1)
-        oh_t = jnp.where(iota_lw == loc_m.reshape(LANES, 1),
-                         1.0, 0.0)                              # (128, WIN)
-        acc = acc + jax.lax.dot_general(
-            feats, oh_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (8, WIN)
+        oh_l[r] = jnp.where(iota_lw == loc_m.reshape(LANES, 1),
+                            1.0, 0.0)                           # (128, WIN)
 
-        return (slot_r[:, 0:1], vs[0][:, 0:1], vs[1][:, 0:1],
-                vs[2][:, 0:1], vs[3][:, 0:1], acc)
+        carry_slot = slot_r[:, 0:1]
+        carry = [v[:, 0:1] for v in vs]
 
-    state = (jnp.full((1, 1), -1, jnp.int32),
-             *(jnp.full((1, 1), BIG, jnp.float32) for _ in range(4)),
-             jnp.zeros((ROWS, WIN), jnp.float32))
-    state = jax.lax.fori_loop(0, ROWS, row_body, state)
-    acc = state[5]
+    acc = jax.lax.dot_general(
+        jnp.concatenate(feats_l, axis=1), jnp.concatenate(oh_l, axis=0),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                    # (8, WIN)
     # components absent from this tile contributed exactly 0 (a present
     # head contributes v - sb != 0 since |v| < sb or v = BIG): keep BIG
     ext = jnp.where(acc == 0.0, BIG, acc + sb)
@@ -253,32 +271,35 @@ def _gate_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
     window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
 
-    def row_body(r, carry):
-        slot_r = slot_ref[pl.ds(r, 1), :]
-        loc_r = jnp.clip(slot_r - lo, 0, WIN - 1)
-        msk_r = slot_r < c_cap
-        pix_r = pix_ref[pl.ds(r, 1), :]
-        oh = jnp.where((iota_w == loc_r) & msk_r, 1.0, 0.0)    # (WIN, 128)
-        vals = jax.lax.dot_general(
-            window, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
+    slot = slot_ref[:]
+    msk = slot < c_cap
+    loc = jnp.clip(slot - lo, 0, WIN - 1)
+    # one table expansion for all 8 rows (see _extent_kernel)
+    ohs = [jnp.where((iota_w == loc[r:r + 1, :]) & msk[r:r + 1, :],
+                     1.0, 0.0) for r in range(ROWS)]
+    vals_all = jax.lax.dot_general(
+        window, jnp.concatenate(ohs, axis=1), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                    # (8, 1024)
+
+    for r in range(ROWS):
+        slot_r = slot[r:r + 1, :]
+        msk_r = msk[r:r + 1, :]
+        pix_r = pix_ref[r:r + 1, :]
+        vals = vals_all[:, r * LANES:(r + 1) * LANES]           # (8, 128)
         ct, st = vals[0:1, :], vals[1:2, :]
         cx, cy = vals[2:3, :], vals[3:4, :]
         gate = vals[4:5, :]
-        dxp = xs_ref[pl.ds(r, 1), :] - cx
-        dyp = ys_ref[pl.ds(r, 1), :] - cy
+        dxp = xs_ref[r:r + 1, :] - cx
+        dyp = ys_ref[r:r + 1, :] - cy
         w_proj = -dxp * st + dyp * ct
-        ang_r = ang_ref[pl.ds(r, 1), :]
+        ang_r = ang_ref[r:r + 1, :]
         aligned = jnp.abs(jnp.cos(ang_r) * ct
                           + jnp.sin(ang_r) * st) >= cos_tol
         keep = (pix_r != 0.0) & (jnp.abs(w_proj) <= gate) & aligned
-        newpix_ref[pl.ds(r, 1), :] = jnp.where(
+        newpix_ref[r:r + 1, :] = jnp.where(
             msk_r, jnp.where(keep, 1.0, 0.0),
             jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))
-        return carry
-
-    jax.lax.fori_loop(0, ROWS, row_body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))

@@ -105,3 +105,35 @@ def test_detect_batch_matches_per_image():
     batched = lsd.detect_batch(imgs, depth=2)
     for img, got in zip(imgs, batched):
         np.testing.assert_array_equal(got, lsd.detect(img))
+
+
+def test_uint8_input_matches_f32():
+    # u8 frames ride the uplink as-is and are cast on device
+    # (ops/lsd._detect_prep): results must equal detecting float32(img)
+    rng = np.random.default_rng(4)
+    img8 = rng.integers(0, 9, size=(160, 200)).astype(np.uint8)
+    imgf = img8.astype(np.float32)
+    _draw_segment(imgf, (20.0, 40.0), (180.0, 45.0))
+    img8 = np.maximum(img8, imgf.astype(np.uint8))
+    np.testing.assert_array_equal(
+        lsd.detect(img8), lsd.detect(img8.astype(np.float32)))
+
+
+def test_shrunk_rounds_match_unshrunk():
+    # rounds 2+ run on the compacted surviving actives (next_nc path);
+    # the participating pixel set is identical to the unshrunk run, so
+    # the accepted segments must match (same reduction tiling on CPU)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 8, size=(160, 200)).astype(np.float32)
+    for i in range(4):
+        _draw_segment(img, (20.0, 25.0 + 30 * i), (180.0, 30.0 + 30 * i))
+    d = jnp.asarray(img)
+    a = lsd._detect_compact(d, 160, 200, False, shrink_scale=0.35)
+    b = lsd._detect_compact(d, 160, 200, False, shrink_scale=0.0)
+    sa = np.asarray(a[0])[np.asarray(a[1])]
+    sb = np.asarray(b[0])[np.asarray(b[1])]
+    assert len(sa) == len(sb) >= 4
+    np.testing.assert_allclose(
+        np.sort(sa, axis=0), np.sort(sb, axis=0), atol=1e-3)

@@ -61,9 +61,15 @@ def build_scene(V, S=3000, seed=0):
 
 def main():
     V = next((int(a) for a in sys.argv[1:] if a.isdigit()), 104)
+    knn = next((int(a.split("=")[1]) for a in sys.argv
+                if a.startswith("--knn=")), 10)
+    block = next((int(a.split("=")[1]) for a in sys.argv
+                  if a.startswith("--block=")), 26)
+    t0 = time.time()
     views = build_scene(V)
+    print(f"scene built in {time.time() - t0:.1f}s", flush=True)
 
-    cfg = l3d.Config(optimize=False, view_block=26)
+    cfg = l3d.Config(optimize=False, view_block=block, knn=knn)
     pipe = l3d.Line3D(cfg)
     for i, (cam, segs) in enumerate(views):
         pipe.add_view(i, cam, segs)
@@ -75,12 +81,23 @@ def main():
     lines = pipe.reconstruct_3d_lines()
     t_recon = time.time() - t0
 
+    # device HBM high-water (absent on some backends/relays)
+    stats = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        pass
+    hbm_peak_gb = stats.get("peak_bytes_in_use", 0) / (1 << 30)
+
     print(json.dumps({
         "views": V,
+        "knn": knn,
+        "view_block": block,
         "match_s": round(t_match, 1),
         "reconstruct_s": round(t_recon, 1),
         "images_per_sec": round(V / (t_match + t_recon), 2),
         "lines": len(lines),
+        "hbm_peak_gb": round(hbm_peak_gb, 2),
     }))
 
 
