@@ -782,10 +782,18 @@ class Line3D:
             delta = mean_hi - mean_lo
             bcv = kk * (n - kk) * delta * delta
             g = int(np.argmax(bcv))
-            # assign ALL members (incl. weak) by the strong-mode midpoint
             split_t = 0.5 * (mean_lo[g] + mean_hi[g])
-            lo_all = idx[s_all <= split_t]
-            hi_all = idx[s_all > split_t]
+            if strong_min > 0 and m_score is not None:
+                # assign ALL members (incl. weak) by the strong-mode midpoint
+                lo_all = idx[s_all <= split_t]
+                hi_all = idx[s_all > split_t]
+            else:
+                # legacy mode (no strong gating): rank split at the Otsu cut
+                # so every member lands on its own side — the midpoint can
+                # fall outside (ss[g], ss[g+1]) for asymmetric modes and
+                # would silently reassign members vs the round-2 tuning
+                lo_all = strong[o2[: g + 1]]
+                hi_all = strong[o2[g + 1:]]
             rec = None
             if self._split_records is not None and delta[g] >= 0.5:
                 lo_r, hi_r = lo_all, hi_all

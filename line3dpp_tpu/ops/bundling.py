@@ -210,11 +210,31 @@ def lm_optimize(
     return params
 
 
-def optimize_cluster_lines(lineP1, lineP2, mc, mv, ms, C, st, config):
+@functools.partial(jax.jit, static_argnames=("num_clusters",))
+def lm_cost(params, obs_cluster, KinvT, R, t, p1h, p2h, seg_dir,
+            num_clusters: int):
+    """Per-cluster robustified cost at ``params`` (ablation/diagnostics)."""
+    r = _res_only(params[obs_cluster], KinvT, R, t, p1h, p2h, seg_dir)
+    hw = _huber_w(r)
+    return jax.ops.segment_sum(
+        jnp.sum((hw * r) ** 2, -1), obs_cluster, num_clusters)
+
+
+def optimize_cluster_lines(lineP1, lineP2, mc, mv, ms, C, st, config,
+                           iterations: int | None = None,
+                           _capture: dict | None = None):
     """Refine cluster lines by minimizing 2D endpoint-to-projected-line
     reprojection error; cameras constant (reference: optimization.cc:8-303).
 
     Returns (P1, P2, unit_dir) arrays of shape (C, 3) in the centered frame.
+
+    ``iterations`` overrides the LM iteration count, default
+    ``config.max_iter_optim`` = 250 to match the reference Ceres cap
+    (commons.h:88).  Earlier rounds clamped to 50; the measured convergence
+    ablation (tools/ablate_bundling_iters.py, PARITY.md row 17) showed 51 of
+    2295 testdata clusters still improving past 50, so the clamp was lifted
+    — the fixed-length scan costs ~2 extra seconds on CPU and less on TPU.
+    ``_capture`` (diagnostics) receives the assembled LM inputs.
     """
     cb = st["cb"]
     segs2d = st["segs"]                          # (V, S, 4) original pixels
@@ -257,12 +277,18 @@ def optimize_cluster_lines(lineP1, lineP2, mc, mv, ms, C, st, config):
     params0 = jnp.concatenate(
         [params0, jnp.zeros((Cpad - C, 4), params0.dtype)])
 
+    if iterations is None:
+        iterations = int(config.max_iter_optim)
+    if _capture is not None:
+        _capture.update(
+            params0=np.asarray(params0), obs_cluster=np.asarray(obs_cluster),
+            Ko=Ko, Ro=Ro, to=to, p1h=p1h, p2h=p2h, d2=d2, Cpad=Cpad, C=C)
     params = lm_optimize(
         params0, obs_cluster,
         jnp.asarray(Ko), jnp.asarray(Ro), jnp.asarray(to),
         jnp.asarray(p1h), jnp.asarray(p2h), jnp.asarray(d2),
         num_clusters=Cpad,
-        iterations=min(int(config.max_iter_optim), 50),
+        iterations=int(iterations),
     )
     params = params[:C]
 

@@ -141,6 +141,15 @@ def cluster_edges_anchored(
     bridge edges inside merged clusters only 31 connect two confidently
     sided strong nodes).
 
+    NOTE pass 2 does NOT guarantee pass-1 strong clusters survive intact:
+    weak members interleaved into pass 2 inflate component sizes, lowering
+    the adaptive threshold ``w + c/size``, so a strong-strong merge accepted
+    in pass 1 can be rejected in pass 2.  The pass-2 strong components are a
+    REFINEMENT of the pass-1 partition (never coarser — the anchor gate
+    blocks cross-anchor merges — but possibly finer); the anchor gate never
+    fires between fragments of the same pass-1 cluster.  Covered by
+    tests/test_clustering.py::test_anchored_pass2_may_refine_pass1.
+
     ``strong``: bool (num_nodes,).  Returns root label per node.
     """
     i = np.ascontiguousarray(i, dtype=np.int32)

@@ -735,8 +735,13 @@ def _detect_prep(image: np.ndarray, max_width: int):
     (tools/bench_relay.py); `_detect_compact` casts on device."""
     img = np.asarray(image)
     if img.ndim == 3:
-        # RGB -> luma (PIL order); stays u8 when the input is u8
-        img = (img @ np.array([0.299, 0.587, 0.114])).astype(img.dtype)
+        # RGB -> luma (PIL order); stays u8 when the input is u8.  Round
+        # before integer casts: a bare cast floors the float luma (up to one
+        # gray level, biased down) vs the rounded OpenCV-style conversion.
+        luma = img @ np.array([0.299, 0.587, 0.114])
+        if np.issubdtype(img.dtype, np.integer):
+            luma = np.rint(luma)
+        img = luma.astype(img.dtype)
 
     H0, W0 = img.shape
     ds = 1.0

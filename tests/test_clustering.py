@@ -88,3 +88,33 @@ def test_anchored_blocks_weak_bridge():
     assert lab_a[3] == lab_a[4] == lab_a[5]
     assert lab_a[0] != lab_a[3]                   # strong clusters separate
     assert lab_a[6] in (lab_a[0], lab_a[3])       # bridge joined one side
+
+
+def test_anchored_pass2_may_refine_pass1():
+    # weak members interleaved into pass 2 inflate component sizes and
+    # lower the adaptive threshold w + c/size, so a strong-strong merge
+    # accepted in pass 1 can be REJECTED in pass 2: pass-2 strong
+    # components refine (never coarsen) the pass-1 partition
+    # (ops/clustering.cluster_edges_anchored docstring).
+    edges = [
+        (0, 2, 0.1), (0, 3, 0.1),   # weak members of strong node 0
+        (1, 4, 0.1), (1, 5, 0.1),   # weak members of strong node 1
+        (0, 1, 0.9),                # the strong-strong edge
+    ]
+    i = np.array([e[0] for e in edges], np.int32)
+    j = np.array([e[1] for e in edges], np.int32)
+    w = np.array([e[2] for e in edges], np.float32)
+    strong = np.array([1, 1, 0, 0, 0, 0], bool)
+    c = 1.0
+
+    # pass 1 alone (strong subgraph {0,1}) merges: 0.9 <= c
+    lab1 = clustering.cluster_edges(i[4:], j[4:], w[4:], 6, c)
+    assert lab1[0] == lab1[1]
+
+    # anchored: weak merges first (threshold drops to 0.1 + c/3), the
+    # 0.9 strong edge is then rejected -> the pass-1 cluster splits,
+    # each fragment keeping its weak members
+    lab2 = clustering.cluster_edges_anchored(i, j, w, 6, strong, c)
+    assert lab2[0] != lab2[1]
+    assert lab2[2] == lab2[3] == lab2[0]
+    assert lab2[4] == lab2[5] == lab2[1]

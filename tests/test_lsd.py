@@ -119,6 +119,22 @@ def test_uint8_input_matches_f32():
         lsd.detect(img8), lsd.detect(img8.astype(np.float32)))
 
 
+def test_rgb_uint8_luma_rounds():
+    # RGB u8 -> luma must round, not floor (ops/lsd._detect_prep): the
+    # rounded u8 luma plane and detection on it must match computing the
+    # rounded luma by hand.
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 9, size=(160, 200, 3)).astype(np.uint8)
+    gray = np.rint(rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+    _draw_segment(gray, (20.0, 40.0), (180.0, 45.0))
+    rgb = np.maximum(rgb, gray[..., None])
+    gray = np.rint(rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+
+    prepped, _ = lsd._detect_prep(rgb, max_width=0)
+    np.testing.assert_array_equal(prepped, gray)
+    np.testing.assert_array_equal(lsd.detect(rgb), lsd.detect(gray))
+
+
 def test_shrunk_rounds_match_unshrunk():
     # rounds 2+ run on the compacted surviving actives (next_nc path);
     # the participating pixel set is identical to the unshrunk run, so

@@ -195,6 +195,7 @@ def main():
     for split_t, sym, n, sm, lm, _ in rows:
         print(f"| {split_t} | {sym} | {n} | {sm['recall']:.3f} | "
               f"{sm['precision']:.3f} | {lm['count_f1']:.3f} |")
+    return rows
 
 
 if __name__ == "__main__":
