@@ -637,62 +637,84 @@ class Line3D:
             lineP1[mc], line_dir[mc], cb.C[mv], r1[mv, ms], r2[mv, ms],
         )
 
-        # --- host: interval sweep (line3D.cc:2342-2452) ---
-        intervals = sweep_ops.sweep_all(mc, s1, s2, ok, mv, C, visibility)
+        # --- host: interval sweep (line3D.cc:2342-2452), flat arrays ---
+        iv_c, iv_sa, iv_sb = sweep_ops.sweep_all_flat(
+            mc, s1, s2, ok, mv, C, visibility)
 
         # reference view per cluster = camera of longest member 2D segment
-        # (line3D.cc:2183-2189)
+        # (line3D.cc:2183-2189); per-cluster argmax via lexsort (first member
+        # wins ties, matching the sequential strict-> scan)
         seg2d = st["segs"]
         lens2d = np.hypot(
             seg2d[mv, ms, 2] - seg2d[mv, ms, 0], seg2d[mv, ms, 3] - seg2d[mv, ms, 1]
         )
         ref_view = np.zeros(C, np.int32)
-        best_len = np.full(C, -1.0)
-        for idx in range(len(mc)):
-            c = mc[idx]
-            if lens2d[idx] > best_len[c]:
-                best_len[c] = lens2d[idx]
-                ref_view[c] = mv[idx]
+        o_rv = np.lexsort((-np.arange(len(mc)), lens2d, mc))
+        ref_view[mc[o_rv]] = mv[o_rv]  # last write per cluster = argmax
 
-        # --- assemble + tiny-segment filter (line3D.cc:2302-2339) ---
+        # --- assemble + tiny-segment filter (line3D.cc:2302-2339), batched
+        # (reference OpenMP's this loop, line3D.cc:2278-2299; here the
+        # projections and interval->3D math are single numpy ops) ---
         translation = st["translation"]
         cams = st["cams"]
         lines_out: list[FinalLine3D] = []
         order = np.argsort(mc, kind="stable")
         bounds = np.searchsorted(mc[order], np.arange(C + 1))
-        for c in range(C):
+
+        # interval endpoints back to original world coordinates (untranslate,
+        # line3D.cc:539-545), all intervals at once
+        d_iv = line_dir[iv_c]
+        Pa = lineP1[iv_c] + iv_sa[:, None] * d_iv + translation
+        Pb = lineP1[iv_c] + iv_sb[:, None] * d_iv + translation
+
+        # tiny filter: projected length in each cluster's reference view
+        rv = ref_view[iv_c]
+        Rs = np.stack([cam.R for cam in cams])
+        ts_ = np.stack([cam.t for cam in cams])
+        Ks = np.stack([cam.K for cam in cams])
+        diags = np.array([cam.diagonal for cam in cams])
+
+        def _proj(P: np.ndarray) -> np.ndarray:
+            q = np.einsum("nij,nj->ni", Rs[rv], np.asarray(P, np.float64))
+            q += ts_[rv]
+            q = q / q[:, 2:3]
+            uv = np.einsum("nij,nj->ni", Ks[rv], q)
+            return uv[:, :2] / uv[:, 2:3]
+
+        if len(iv_c):
+            lens_uv = np.linalg.norm(_proj(Pa) - _proj(Pb), axis=-1)
+        else:
+            lens_uv = np.zeros(0)
+        iv_keep = lens_uv > diags[rv] * cfg.min_line_length_factor
+
+        # residual rows for every member at once: [camID segID p q]
+        res_all = np.column_stack([
+            np.asarray(cam_ids, np.float64)[mv], ms.astype(np.float64),
+            seg2d[mv, ms].astype(np.float64)])
+
+        seg_rows = np.concatenate([Pa, Pb], axis=1)[iv_keep]
+        kc = iv_c[iv_keep]          # already ascending (sweep order)
+        kbounds = np.searchsorted(kc, np.arange(C + 1))
+        swept_counts = np.bincount(iv_c, minlength=C)
+        kept_counts = np.bincount(kc, minlength=C)
+        emit = kept_counts > 0
+        # exclusive prefix = len(lines_out) at the time each cluster is seen
+        line_idx = np.cumsum(emit) - emit
+
+        if self._cluster_records is not None:
+            for c in range(C):
+                members = order[bounds[c]: bounds[c + 1]]
+                outcome = ("emitted" if emit[c]
+                           else "tiny" if swept_counts[c] else "sweep-empty")
+                self._cluster_records.append({
+                    "outcome": outcome,
+                    "nodes": (mv[members].astype(np.int64) * S + ms[members]),
+                    "line_idx": int(line_idx[c])})
+
+        for c in np.flatnonzero(emit):
             members = order[bounds[c]: bounds[c + 1]]
-            if self._cluster_records is not None:
-                rec_c = {"outcome": "emitted",
-                         "nodes": (mv[members].astype(np.int64) * S
-                                   + ms[members]),
-                         "line_idx": len(lines_out)}
-                self._cluster_records.append(rec_c)
-            if not intervals[c]:
-                if self._cluster_records is not None:
-                    rec_c["outcome"] = "sweep-empty"
-                continue
-            cam = cams[ref_view[c]]
-            min_len = cam.diagonal * cfg.min_line_length_factor
-            segs3d = []
-            for (sa, sb) in intervals[c]:
-                # back to original world coordinates (untranslate,
-                # line3D.cc:539-545)
-                Pa = lineP1[c] + sa * line_dir[c] + translation
-                Pb = lineP1[c] + sb * line_dir[c] + translation
-                # tiny filter: projected length in the reference view
-                uv = cam.project(np.stack([Pa, Pb]))
-                if np.linalg.norm(uv[0] - uv[1]) > min_len:
-                    segs3d.append(np.concatenate([Pa, Pb]))
-            if not segs3d:
-                if self._cluster_records is not None:
-                    rec_c["outcome"] = "tiny"
-                continue
-            residuals = np.zeros((len(members), 6))
-            for ri, midx in enumerate(members):
-                v, s = mv[midx], ms[midx]
-                residuals[ri] = [cam_ids[v], s, *seg2d[v, s]]
-            lines_out.append(FinalLine3D(np.stack(segs3d), residuals))
+            lines_out.append(FinalLine3D(
+                seg_rows[kbounds[c]: kbounds[c + 1]], res_all[members]))
 
         self.lines3d = lines_out
         return lines_out

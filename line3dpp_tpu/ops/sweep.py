@@ -80,18 +80,43 @@ def sweep_all(
     num_clusters: int,
     visibility: int = 3,
 ) -> list[list[tuple[float, float]]]:
-    """Sweep every cluster at once, fully vectorized.
+    """List-of-lists wrapper over :func:`sweep_all_flat` (kept for tests and
+    diagnostics that index intervals per cluster)."""
+    out: list[list[tuple[float, float]]] = [[] for _ in range(num_clusters)]
+    iv_c, iv_sa, iv_sb = sweep_all_flat(
+        member_cluster, s1, s2, member_ok, cams, num_clusters, visibility)
+    for c, sa, sb in zip(iv_c.tolist(), iv_sa.tolist(), iv_sb.tolist()):
+        out[c].append((sa, sb))
+    return out
+
+
+def sweep_all_flat(
+    member_cluster: np.ndarray,   # (N,) cluster index per member
+    s1: np.ndarray,               # (N,)
+    s2: np.ndarray,               # (N,)
+    member_ok: np.ndarray,        # (N,) projection validity
+    cams: np.ndarray,             # (N,)
+    num_clusters: int,
+    visibility: int = 3,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sweep every cluster at once, fully vectorized; flat-array output.
 
     Event semantics match :func:`sweep_cluster`: per cluster, interval
     endpoints ordered by distance to the border point; the distinct-open-
     camera count rises by one when a camera's open-interval count goes
     0 -> 1 and falls on 1 -> 0; sub-segments are emitted while the count is
     >= ``visibility``.
+
+    Returns (cluster_id, s_start, s_end) arrays — one row per emitted
+    interval, grouped by ascending cluster — so the downstream assembly
+    (pipeline reconstruct tail) stays array-shaped with no per-cluster
+    Python loop (the reference's OpenMP'd computeFinal3Dsegments,
+    line3D.cc:2278-2299).
     """
-    out: list[list[tuple[float, float]]] = [[] for _ in range(num_clusters)]
+    empty = (np.zeros(0, np.int64), np.zeros(0, float), np.zeros(0, float))
     keep = np.asarray(member_ok, bool)
     if not keep.any():
-        return out
+        return empty
     mc = np.asarray(member_cluster)[keep]
     a = np.asarray(s1, np.float64)[keep]
     b = np.asarray(s2, np.float64)[keep]
@@ -102,7 +127,7 @@ def sweep_all(
     ok_cluster = counts >= 3
     sel = ok_cluster[mc]
     if not sel.any():
-        return out
+        return empty
     mc, a, b, cam = mc[sel], a[sel], b[sel], cam[sel]
     m = len(mc)
 
@@ -172,8 +197,7 @@ def sweep_all(
     ends_mask = ~above & prev
     ends = np.flatnonzero(ends_mask)
 
-    # match starts/ends in order (they alternate within each cluster)
-    for s_idx, e_idx in zip(starts, ends):
-        c = int(ec[s_idx])
-        out[c].append((float(epos[s_idx]), float(epos[e_idx])))
-    return out
+    # starts/ends alternate within each cluster and sweep order is grouped
+    # by cluster, so positional pairing is exact
+    return (ec[starts].astype(np.int64),
+            epos[starts].astype(float), epos[ends].astype(float))
