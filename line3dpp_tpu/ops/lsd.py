@@ -211,13 +211,13 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
-    "link_cap", "rect_improve", "seed_gate", "next_nc"))
+    "link_cap", "rect_improve", "seed_gate", "seed_center", "next_nc"))
 def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                link_tol, do_consume, *, th: int, tw: int, c_cap: int,
                hw2: int, cc_iters: int, refine_iters: int,
                use_pallas_cc: bool, link_cap: int = 0,
                rect_improve: bool = False, seed_gate: bool = False,
-               next_nc: int = 0):
+               seed_center: bool = False, next_nc: int = 0):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  The annealed rounds share
     compiled subprograms per pixel-list size (the link tolerance is a
@@ -366,8 +366,16 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                                    ext[0], -ext[2], ext[1], -ext[3],
                                    dict(tables=tables))
 
-            def gated_pix(f, gate_vec, pix_f, dump_keep):
+            def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
                 tables = f["tables"].at[4, :c_cap].set(gate_vec)
+                if center is not None:
+                    # shift the centroid by `center` along the rect normal so
+                    # the kernel's w_proj test becomes |w - center| <= gate
+                    # (no kernel change: w' = w - c for cx-=c*st, cy+=c*ct)
+                    ct_t = tables[0, :c_cap]
+                    st_t = tables[1, :c_cap]
+                    tables = (tables.at[2, :c_cap].add(-center * st_t)
+                                    .at[3, :c_cap].add(center * ct_t))
                 return lsd_fit.gate_pixels(slot, xs_s, ys_s, ang_s, pix_f,
                                            tables, jnp.bool_(dump_keep),
                                            cos_gate, c_cap)
@@ -398,11 +406,14 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                                    seg_min(w_proj), seg_max(w_proj),
                                    dict(w_proj=w_proj, ct_p=ct_p, st_p=st_p))
 
-            def gated_pix(f, gate_vec, pix_f, dump_keep):
+            def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
                 gate_p = expand(gate_vec, big if dump_keep else -1.0)
+                w = f["w_proj"]
+                if center is not None:
+                    w = w - expand(center, 0.0)
                 aligned = jnp.abs(jnp.cos(ang_s) * f["ct_p"]
                                   + jnp.sin(ang_s) * f["st_p"]) >= cos_gate
-                keep = ((jnp.abs(f["w_proj"]) <= gate_p)
+                keep = ((jnp.abs(w) <= gate_p)
                         & (aligned | (slot >= c_cap)))
                 return pix_f * keep.astype(jnp.float32)
 
@@ -439,13 +450,45 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             gate_all = jnp.full((c_cap,), big)
             pix = gated_pix(f0, gate_all, pix, True)
         f = fit(pix)
+        if seed_center and refine_iters:
+            # lsd.cpp reduce_region_radius (lsd.cpp:1296-1358) shrinks a
+            # density-failing region toward its SEED pixel, not the fitted
+            # axis.  For two close-parallel same-angle lines fused into one
+            # CC component the fitted axis lies BETWEEN the lines, so the
+            # symmetric |w_proj| <= half_w band keeps the gap and guts both
+            # lines; anchoring the band on the seed's normal offset keeps
+            # the seed's line intact and releases the other line's pixels
+            # for re-extraction in a later annealed round (the reference
+            # releases them via used[...] = NOTUSED and re-grows from the
+            # next seed).  Seed = strongest-magnitude pixel, matching the
+            # reference's decreasing-magnitude seed order (lsd.cpp:790-810).
+            in_part = jnp.where(part_s, mag_s, -big)
+            mmax = jax.ops.segment_max(in_part, slot, c_cap + 1)[:c_cap]
+            is_root = part_s & (mag_s >= expand(mmax, big))
+            # break magnitude ties by flat index (single segment_max)
+            seed_flat = jax.ops.segment_max(
+                jnp.where(is_root, idx_s.astype(jnp.int32), -1),
+                slot, c_cap + 1)[:c_cap]
+            seed_ok = seed_flat >= 0
+            sf = jnp.maximum(seed_flat, 0)
+            x_seed = (sf % wp).astype(jnp.float32)
+            y_seed = (sf // wp).astype(jnp.float32)
         for _ in range(refine_iters):
             half_w = jnp.maximum(
                 jnp.maximum(jnp.abs(f["wmin"]), jnp.abs(f["wmax"])) * 0.6,
                 0.75)
+            fail = f["density"] < DENSITY_TH
             # encode (fail ? half_w : keep-everything) in one table
-            hw_gate = jnp.where(f["density"] < DENSITY_TH, half_w, big)
-            pix = gated_pix(f, hw_gate, pix, True)
+            hw_gate = jnp.where(fail, half_w, big)
+            if seed_center and refine_iters:
+                ct_c = jnp.cos(f["theta"])
+                st_c = jnp.sin(f["theta"])
+                wc = (-(x_seed - f["cx"]) * st_c
+                      + (y_seed - f["cy"]) * ct_c)
+                wc = jnp.where(fail & seed_ok, wc, 0.0)
+                pix = gated_pix(f, hw_gate, pix, True, center=wc)
+            else:
+                pix = gated_pix(f, hw_gate, pix, True)
             f = fit(pix)
 
         # NFA a-contrario validation (lsd.cpp `nfa`): binomial tail
@@ -562,7 +605,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
               use_link_cap: bool = True, rect_improve: bool = False,
               c_cap_scale: int = 1, seed_gate: bool = False,
-              shrink_scale: float = 0.50):
+              seed_center: bool = False, shrink_scale: float = 0.50):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -614,7 +657,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
             th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
-            rect_improve=rect_improve, seed_gate=seed_gate, next_nc=NC2)
+            rect_improve=rect_improve, seed_gate=seed_gate,
+            seed_center=seed_center, next_nc=NC2)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
@@ -757,7 +801,7 @@ def _detect_prep(image: np.ndarray, max_width: int):
 
 def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
                      rect_improve: bool = False, n_rounds: int = 3,
-                     seed_gate: bool = False):
+                     seed_gate: bool = False, seed_center: bool = False):
     """Sync a submitted `_detect_compact`, running the (rare) capped-path
     fallbacks, and return host segments in original image coordinates.
 
@@ -773,7 +817,7 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     """
     H, W = img.shape
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
-              seed_gate=seed_gate)
+              seed_gate=seed_gate, seed_center=seed_center)
     pallas_cc = use_pallas_cc
     for _ in range(7):  # each fallback fires at most once + final unpack
         # one batched device_get: the scalar diag reads below would
@@ -841,7 +885,7 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
 
 
 def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
-           seed_gate: bool = False) -> np.ndarray:
+           seed_gate: bool = False, seed_center: bool = False) -> np.ndarray:
     """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
     original image coordinates.
 
@@ -850,12 +894,13 @@ def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
     here; the min-length/top-k filters live in the pipeline's add_view.
     """
     return detect_batch([image], max_width=max_width, depth=1,
-                        n_rounds=n_rounds, seed_gate=seed_gate)[0]
+                        n_rounds=n_rounds, seed_gate=seed_gate,
+                        seed_center=seed_center)[0]
 
 
 def detect_batch(images, max_width: int = -1, depth: int = 3,
                  rect_improve: bool = False, n_rounds: int = 3,
-                 seed_gate: bool = False) -> list:
+                 seed_gate: bool = False, seed_center: bool = False) -> list:
     """Pipelined detection over several images.
 
     JAX dispatch is asynchronous: submitting image i+1's program before
@@ -868,7 +913,7 @@ def detect_batch(images, max_width: int = -1, depth: int = 3,
     """
     use_pallas_cc = jax.default_backend() == "tpu"
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
-              seed_gate=seed_gate)
+              seed_gate=seed_gate, seed_center=seed_center)
     results = []
     inflight: list = []
     for image in images:
@@ -892,13 +937,14 @@ _MAX_RAW_SEGMENTS = 32768
                                               "nc_scale", "use_link_cap",
                                               "rect_improve", "c_cap_scale",
                                               "seg_cap", "seed_gate",
+                                              "seed_center",
                                               "n_rounds", "shrink_scale"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
                     c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
-                    seed_gate: bool = False, n_rounds: int = 3,
-                    shrink_scale: float = 0.50):
+                    seed_gate: bool = False, seed_center: bool = False,
+                    n_rounds: int = 3, shrink_scale: float = 0.50):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
@@ -908,6 +954,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
                                rect_improve=rect_improve,
                                c_cap_scale=c_cap_scale, seed_gate=seed_gate,
+                               seed_center=seed_center,
                                shrink_scale=shrink_scale)
     idx = jnp.nonzero(ok, size=seg_cap, fill_value=-1)[0]
     valid = idx >= 0
