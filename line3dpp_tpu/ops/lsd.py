@@ -367,15 +367,12 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                                    dict(tables=tables))
 
             def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
+                # table row 5 = optional band center on the rect normal
+                # (the kernel computes |w_proj - center| <= gate; zero
+                # center reproduces the plain symmetric band)
                 tables = f["tables"].at[4, :c_cap].set(gate_vec)
                 if center is not None:
-                    # shift the centroid by `center` along the rect normal so
-                    # the kernel's w_proj test becomes |w - center| <= gate
-                    # (no kernel change: w' = w - c for cx-=c*st, cy+=c*ct)
-                    ct_t = tables[0, :c_cap]
-                    st_t = tables[1, :c_cap]
-                    tables = (tables.at[2, :c_cap].add(-center * st_t)
-                                    .at[3, :c_cap].add(center * ct_t))
+                    tables = tables.at[5, :c_cap].set(center)
                 return lsd_fit.gate_pixels(slot, xs_s, ys_s, ang_s, pix_f,
                                            tables, jnp.bool_(dump_keep),
                                            cos_gate, c_cap)

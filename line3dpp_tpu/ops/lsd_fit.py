@@ -65,40 +65,46 @@ def _tile_window_lo(slot, c_cap):
     return pl.multiple_of((lo // LANES) * LANES, LANES)
 
 
+def _onehot_t(slot, c_cap: int):
+    """(WIN, TILE_N) one-hot of the tile's window-local component ids,
+    dump/out-of-window pixels poisoned to an id that never matches.
+    Built once per tile and shared by the expansion matmul
+    (``window @ oh -> per-pixel values``) and the scatter matmul
+    (``feats ·contract pixels· oh -> per-component sums``)."""
+    lo = _tile_window_lo(slot, c_cap)
+    local = jnp.clip(slot - lo, 0, WIN - 1)
+    # Mosaic cannot reshape i1 vectors: fold the dump mask into the int32
+    # local ids instead (WIN + 1 never equals a window row)
+    local = jnp.where(slot < c_cap, local, WIN + 1)
+    loc_flat = local.reshape(1, TILE_N)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, TILE_N), 0)
+    return lo, jnp.where(iota_w == loc_flat, 1.0, 0.0)
+
+
+def _flat(v):
+    """(ROWS, LANES) -> (1, TILE_N) row-major relayout."""
+    return v.reshape(1, TILE_N)
+
+
 def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
                     *, c_cap: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    slot = slot_ref[:]
-    lo = _tile_window_lo(slot, c_cap)
-    local = jnp.clip(slot - lo, 0, WIN - 1)
-    # encode out-of-window (dump) pixels as local id WIN-1 with a poisoned
-    # id that can never match: Mosaic cannot reshape i1 vectors, so the
-    # mask is folded into the int32 local ids instead
-    local = jnp.where(slot < c_cap, local, WIN + 1)
-
-    # one matmul for the whole tile: concatenate the 8 sublane rows along
-    # the contraction axis — (8, 1024) @ (1024, WIN) issues once on the
-    # MXU instead of eight K=128 matmuls (whose issue overhead dominated;
-    # tools/bench_lsd_kernels.py)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
-    feats_l, oh_l = [], []
-    for r in range(ROWS):
-        x = xs_ref[r:r + 1, :]
-        y = ys_ref[r:r + 1, :]
-        pixf = pix_ref[r:r + 1, :]
-        w = mag_ref[r:r + 1, :] * pixf
-        feats_l.append(jnp.concatenate(
-            [w, w * x, w * y, w * x * x, w * y * y, w * x * y, pixf,
-             jnp.zeros_like(w)], axis=0))                     # (8, 128)
-        oh_l.append(jnp.where(
-            iota_w == local[r:r + 1, :].reshape(LANES, 1),
-            1.0, 0.0))                                        # (128, WIN)
+    # whole-tile (8, 128) vector ops — the previous per-row (1, 128)
+    # formulation issued 8x the VPU ops for the same work
+    lo, oh = _onehot_t(slot_ref[:], c_cap)
+    x = xs_ref[:]
+    y = ys_ref[:]
+    pixf = pix_ref[:]
+    w = mag_ref[:] * pixf
+    feats = jnp.concatenate(
+        [_flat(w), _flat(w * x), _flat(w * y), _flat(w * x * x),
+         _flat(w * y * y), _flat(w * x * y), _flat(pixf),
+         jnp.zeros((1, TILE_N), jnp.float32)], axis=0)        # (8, TILE_N)
     res = jax.lax.dot_general(
-        jnp.concatenate(feats_l, axis=1), jnp.concatenate(oh_l, axis=0),
-        (((1,), (0,)), ((), ())),
+        feats, oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                   # (8, WIN)
 
@@ -161,94 +167,75 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
     def _():
         ext_ref[:] = jnp.full_like(ext_ref, BIG)
 
-    lo = _tile_window_lo(slot_ref[:], c_cap)
+    slot = slot_ref[:]                                        # (8, 128)
+    msk = slot < c_cap
+    lo, oh = _onehot_t(slot, c_cap)                           # (WIN, TILE_N)
     # full feature table (4.2 MB) stays VMEM-resident across the grid
     window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
-    iota_wl = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
-    iota_lw = jax.lax.broadcasted_iota(jnp.int32, (LANES, WIN), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
 
-    slot = slot_ref[:]
-    msk = slot < c_cap
-    loc = jnp.clip(slot - lo, 0, WIN - 1)
-
-    # the per-row table expansions are independent of the sequential
-    # suffix-min carry: issue them as ONE (8, WIN) @ (WIN, 1024) matmul
-    # up front (eight K=128 matmuls inside the row loop were mostly MXU
-    # issue overhead), then slice per row below
-    ohs = [jnp.where((iota_wl == loc[r:r + 1, :]) & msk[r:r + 1, :],
-                     1.0, 0.0) for r in range(ROWS)]           # (WIN, 128)
+    # table expansion: ONE (8, WIN) @ (WIN, 1024) matmul, then per-feature
+    # (1, 1024) -> (8, 128) relayouts so everything below runs whole-tile
+    # (the previous per-row (1, 128) formulation issued 8x the VPU ops)
     vals_all = jax.lax.dot_general(
-        window, jnp.concatenate(ohs, axis=1), (((1,), (0,)), ((), ())),
+        window, oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                    # (8, 1024)
+    grid2 = lambda f: vals_all[f:f + 1, :].reshape(ROWS, LANES)
+    ct, st, cx, cy = grid2(0), grid2(1), grid2(2), grid2(3)
+    dxp = xs_ref[:] - cx
+    dyp = ys_ref[:] - cy
+    l_proj = dxp * ct + dyp * st
+    w_proj = -dxp * st + dyp * ct
 
-    # rows processed last-to-first (the suffix-min carry flows backwards);
-    # head contributions are collected and scattered in ONE matmul after
-    # the loop — each row occupies a disjoint K-slice, so the sum over
-    # K = 1024 reproduces the old per-row accumulation exactly
-    carry_slot = jnp.full((1, 1), -1, jnp.int32)
-    carry = [jnp.full((1, 1), BIG, jnp.float32) for _ in range(4)]
-    feats_l = [None] * ROWS
-    oh_l = [None] * ROWS
-    for r in range(ROWS - 1, -1, -1):
-        slot_r = slot[r:r + 1, :]
-        loc_r = loc[r:r + 1, :]
-        msk_r = msk[r:r + 1, :]
-        pix_r = pix_ref[r:r + 1, :]
-        vals = vals_all[:, r * LANES:(r + 1) * LANES]           # (8, 128)
-        ct, st = vals[0:1, :], vals[1:2, :]
-        cx, cy = vals[2:3, :], vals[3:4, :]
-        dxp = xs_ref[r:r + 1, :] - cx
-        dyp = ys_ref[r:r + 1, :] - cy
-        l_proj = dxp * ct + dyp * st
-        w_proj = -dxp * st + dyp * ct
+    inpix = (pix_ref[:] != 0.0) & msk
+    vs = [jnp.where(inpix, l_proj, BIG),
+          jnp.where(inpix, w_proj, BIG),
+          jnp.where(inpix, -l_proj, BIG),
+          jnp.where(inpix, -w_proj, BIG)]
 
-        inpix = (pix_r != 0.0) & msk_r
-        vs = [jnp.where(inpix, l_proj, BIG),
-              jnp.where(inpix, w_proj, BIG),
-              jnp.where(inpix, -l_proj, BIG),
-              jnp.where(inpix, -w_proj, BIG)]
+    # in-row segmented suffix-min, all 8 rows at once: after step d, lane j
+    # holds the min over same-slot lanes [j, min(j + 2d - 1, run end)] —
+    # sorted keys make the plain equality test sufficient
+    for d in (1, 2, 4, 8, 16, 32, 64):
+        ok_sh = (lane + d <= LANES - 1) & \
+            (slot == jnp.roll(slot, -d, axis=1))
+        vs = [jnp.minimum(v, jnp.where(ok_sh, jnp.roll(v, -d, axis=1),
+                                       BIG)) for v in vs]
 
-        # in-row segmented suffix-min: after step d, lane j holds the min
-        # over same-slot lanes [j, min(j + 2d - 1, run end)] — sorted keys
-        # make the plain equality test sufficient
-        for d in (1, 2, 4, 8, 16, 32, 64):
-            ok_sh = (lane + d <= LANES - 1) & \
-                (slot_r == jnp.roll(slot_r, -d, axis=1))
-            vs = [jnp.minimum(v, jnp.where(ok_sh, jnp.roll(v, -d, axis=1),
-                                           BIG)) for v in vs]
+    # cross-row carry: a run's tail in row r continues into row r+1 iff
+    # slot[r, j] == slot[r+1, 0].  After the in-row pass, lane 0 of each
+    # row holds that row's head-run min, so the carry chain is a segmented
+    # suffix-min over the (8, 1) lane-0 column keyed by its slot
+    s0 = slot[:, 0:1]                                          # (8, 1)
+    c0 = [v[:, 0:1] for v in vs]
+    for d in (1, 2, 4):
+        ok_r = (row + d <= ROWS - 1) & (s0 == jnp.roll(s0, -d, axis=0))
+        c0 = [jnp.minimum(c, jnp.where(ok_r, jnp.roll(c, -d, axis=0), BIG))
+              for c in c0]
+    # shift down: carry for row r comes from row r+1's chained column value
+    s_next = jnp.where(row <= ROWS - 2, jnp.roll(s0, -1, axis=0), -1)
+    cont = slot == s_next                                      # (8, 128)
+    vs = [jnp.where(cont, jnp.minimum(v, jnp.roll(c, -1, axis=0)), v)
+          for v, c in zip(vs, c0)]
 
-        # cross-row carry: the row's tail run may continue into row r+1
-        cont = slot_r == carry_slot
-        vs = [jnp.where(cont, jnp.minimum(v, c), v)
-              for v, c in zip(vs, carry)]
+    # in-tile run heads: previous element (row-major) has another slot; the
+    # tile's first element is always a head
+    prev = jnp.roll(slot, 1, axis=1)
+    prev_row_last = jnp.where(row >= 1, jnp.roll(slot[:, LANES - 1:], 1,
+                                                 axis=0), -1)
+    prev = jnp.where(lane == 0, prev_row_last, prev)
+    hm = jnp.where((slot != prev) & msk, 1.0, 0.0)
 
-        # in-tile run heads: previous element (row-major) has another slot;
-        # the tile's first element is always a head
-        prev_in_row = jnp.roll(slot_r, 1, axis=1)
-        prev = jnp.where(
-            lane == 0,
-            jnp.int32(-1) if r == 0 else slot[r - 1:r, LANES - 1:],
-            prev_in_row)
-        hm = jnp.where((slot_r != prev) & msk_r, 1.0, 0.0)
-
-        # head scatter as an exact sum matmul: one head per (slot, tile),
-        # all other lanes contribute 0; +sb restores values afterwards.
-        # Mosaic cannot reshape i1 vectors — fold the mask into the int32
-        # local id (poisoned id WIN + 1 never matches), as in _moments_kernel
-        feats_l[r] = jnp.concatenate(
-            [hm * (v - sb) for v in vs] + [jnp.zeros_like(hm)] * 4, axis=0)
-        loc_m = jnp.where(msk_r, loc_r, WIN + 1)
-        oh_l[r] = jnp.where(iota_lw == loc_m.reshape(LANES, 1),
-                            1.0, 0.0)                           # (128, WIN)
-
-        carry_slot = slot_r[:, 0:1]
-        carry = [v[:, 0:1] for v in vs]
-
+    # head scatter as an exact sum matmul reusing the SAME one-hot: one
+    # head per (slot, tile), all other lanes contribute 0; +sb restores
+    # values afterwards (dump pixels have an all-zero one-hot column)
+    feats = jnp.concatenate(
+        [_flat(hm * (v - sb)) for v in vs]
+        + [jnp.zeros((4, TILE_N), jnp.float32)], axis=0)        # (8, TILE_N)
     acc = jax.lax.dot_general(
-        jnp.concatenate(feats_l, axis=1), jnp.concatenate(oh_l, axis=0),
-        (((1,), (0,)), ((), ())),
+        feats, oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                    # (8, WIN)
     # components absent from this tile contributed exactly 0 (a present
@@ -265,48 +252,47 @@ def _gate_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
     extents, and the four (WIN, 128) masked column-min reductions are
     ~80% of that kernel's time — this drops them, keeping only the one-hot
     MXU table expansion and the per-pixel gate test."""
-    lo = _tile_window_lo(slot_ref[:], c_cap)
     dump_keep = scal_ref[0] != 0.0
     cos_tol = scal_ref[1]
-    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (WIN, LANES), 0)
-
-    slot = slot_ref[:]
+    slot = slot_ref[:]                                        # (8, 128)
     msk = slot < c_cap
-    loc = jnp.clip(slot - lo, 0, WIN - 1)
-    # one table expansion for all 8 rows (see _extent_kernel)
-    ohs = [jnp.where((iota_w == loc[r:r + 1, :]) & msk[r:r + 1, :],
-                     1.0, 0.0) for r in range(ROWS)]
+    lo, oh = _onehot_t(slot, c_cap)
+    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
+
+    # one table expansion for all 8 rows, whole-tile ops below
+    # (see _extent_kernel)
     vals_all = jax.lax.dot_general(
-        window, jnp.concatenate(ohs, axis=1), (((1,), (0,)), ((), ())),
+        window, oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                    # (8, 1024)
-
-    for r in range(ROWS):
-        slot_r = slot[r:r + 1, :]
-        msk_r = msk[r:r + 1, :]
-        pix_r = pix_ref[r:r + 1, :]
-        vals = vals_all[:, r * LANES:(r + 1) * LANES]           # (8, 128)
-        ct, st = vals[0:1, :], vals[1:2, :]
-        cx, cy = vals[2:3, :], vals[3:4, :]
-        gate = vals[4:5, :]
-        dxp = xs_ref[r:r + 1, :] - cx
-        dyp = ys_ref[r:r + 1, :] - cy
-        w_proj = -dxp * st + dyp * ct
-        ang_r = ang_ref[r:r + 1, :]
-        aligned = jnp.abs(jnp.cos(ang_r) * ct
-                          + jnp.sin(ang_r) * st) >= cos_tol
-        keep = (pix_r != 0.0) & (jnp.abs(w_proj) <= gate) & aligned
-        newpix_ref[r:r + 1, :] = jnp.where(
-            msk_r, jnp.where(keep, 1.0, 0.0),
-            jnp.where(dump_keep & (pix_r != 0.0), 1.0, 0.0))
+    grid2 = lambda f: vals_all[f:f + 1, :].reshape(ROWS, LANES)
+    ct, st, cx, cy, gate, center = (grid2(0), grid2(1), grid2(2), grid2(3),
+                                    grid2(4), grid2(5))
+    dxp = xs_ref[:] - cx
+    dyp = ys_ref[:] - cy
+    # row 5 holds an optional band center on the rect normal (zero
+    # everywhere except the seed-anchored refine, ops/lsd.py seed_center);
+    # subtracting AFTER the projection keeps the arithmetic bit-identical
+    # to the XLA path's `w_proj - expand(center)`
+    w_proj = (-dxp * st + dyp * ct) - center
+    ang = ang_ref[:]
+    pix = pix_ref[:]
+    aligned = jnp.abs(jnp.cos(ang) * ct + jnp.sin(ang) * st) >= cos_tol
+    keep = (pix != 0.0) & (jnp.abs(w_proj) <= gate) & aligned
+    newpix_ref[:] = jnp.where(
+        msk, jnp.where(keep, 1.0, 0.0),
+        jnp.where(dump_keep & (pix != 0.0), 1.0, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
 def gate_pixels(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
                 cos_tol: jnp.ndarray, c_cap: int, interpret: bool = False):
     """``newpix`` of :func:`extents` without the extents reduction —
-    identical gating semantics, ~3x faster."""
+    identical gating semantics, ~3x faster.
+
+    ``tables`` row 5 holds an optional band center on the rect normal
+    (the kernel tests ``|w_proj - center| <= gate``); all-zero row 5
+    reproduces the plain symmetric band of :func:`extents`."""
     n = slot.shape[0]
     assert n % TILE_N == 0, n
     assert tables.shape == (ROWS, c_cap + WIN), tables.shape

@@ -148,25 +148,32 @@ def test_gate_pixels(rng):
     tables[4, :c_cap] = gate
     ang = rng.uniform(-np.pi, np.pi, len(slot)).astype(np.float32)
 
+    center = rng.uniform(-3.0, 3.0, c_cap).astype(np.float32)
+
     ct, st = np.cos(theta), np.sin(theta)
     sc = np.minimum(slot, c_cap - 1)
     dxp = xs - cx[sc]
     dyp = ys - cy[sc]
     w_proj = -dxp * st[sc] + dyp * ct[sc]
-    for dump_keep in (True, False):
-        for cos_tol in (-2.0, float(np.cos(np.radians(22.5)))):
-            got = np.asarray(lsd_fit.gate_pixels(
-                jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
-                jnp.asarray(ang), jnp.asarray(pix), jnp.asarray(tables),
-                jnp.bool_(dump_keep), jnp.float32(cos_tol),
-                c_cap, interpret=True))
-            aligned = (np.abs(np.cos(ang) * ct[sc] + np.sin(ang) * st[sc])
-                       >= cos_tol)
-            want = np.where(
-                slot < c_cap,
-                pix * ((np.abs(w_proj) <= gate[sc]) & aligned),
-                pix if dump_keep else 0.0).astype(np.float32)
-            np.testing.assert_array_equal(got, want)
+    # row 5 = optional band center on the rect normal (seed-anchored
+    # refine, ops/lsd.py seed_center); zero reproduces the symmetric band
+    for use_center in (False, True):
+        tables[5, :c_cap] = center if use_center else 0.0
+        w_eff = (w_proj - center[sc]) if use_center else w_proj
+        for dump_keep in (True, False):
+            for cos_tol in (-2.0, float(np.cos(np.radians(22.5)))):
+                got = np.asarray(lsd_fit.gate_pixels(
+                    jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+                    jnp.asarray(ang), jnp.asarray(pix), jnp.asarray(tables),
+                    jnp.bool_(dump_keep), jnp.float32(cos_tol),
+                    c_cap, interpret=True))
+                aligned = (np.abs(np.cos(ang) * ct[sc]
+                                  + np.sin(ang) * st[sc]) >= cos_tol)
+                want = np.where(
+                    slot < c_cap,
+                    pix * ((np.abs(w_eff) <= gate[sc]) & aligned),
+                    pix if dump_keep else 0.0).astype(np.float32)
+                np.testing.assert_array_equal(got, want)
 
 
 def test_band_counts(rng):
@@ -199,3 +206,69 @@ def test_band_counts(rng):
         inb = (pix != 0) & (slot < c_cap) & (d2 <= width[sc] - 0.5 * (b + 1))
         np.add.at(want[b], sc[inb], 1.0)
     np.testing.assert_allclose(got[:4], want, atol=1e-3)
+
+
+def test_core_seed_center_gate_wiring(rng):
+    """seed_center=True: the Pallas path passes the seed-anchored band
+    center through tables row 5 (ops/lsd.py `gated_pix`); the kernel must
+    implement exactly ``|w_proj - center| <= gate``.
+
+    The XLA and Pallas paths are NOT compared here: their fits sum moments
+    in different orders (jax.ops.segment_sum vs one-hot MXU matmuls), the
+    seed-anchored shrink turns 1-ULP band flips into discrete region
+    repartitions, and the two paths legitimately settle on different
+    fragmentations of the same lines (both pass the NFA test; verified
+    manually — every segment of both paths lies on a drawn GT line).
+    Instead the full Pallas pipeline is run twice with identical fit
+    numerics — once with the real gate kernel, once with a plain-jnp
+    reference gate — and must agree bit-for-bit, which pins the row-5
+    wiring AND the kernel's center semantics end-to-end."""
+    import functools
+
+    import line3dpp_tpu.ops.lsd as lsd
+    import line3dpp_tpu.ops.lsd_cc as lsd_cc
+
+    img = rng.uniform(0, 8, size=(96, 200)).astype(np.float32)
+    from tests.test_lsd import _draw_segment
+    for p, q in [((15.0, 20.0), (180.0, 28.0)), ((40.0, 80.0), (160.0, 30.0)),
+                 ((30.0, 60.0), (170.0, 64.0))]:
+        _draw_segment(img, p, q)
+    H, W = img.shape
+
+    def ref_gate(slot, xs, ys, ang, pix, tables, dump_keep, cos_tol,
+                 c_cap, interpret=False):
+        sc = jnp.minimum(slot, c_cap - 1)
+        ct, st = tables[0, sc], tables[1, sc]
+        cx, cy = tables[2, sc], tables[3, sc]
+        gate, center = tables[4, sc], tables[5, sc]
+        w_proj = (-(xs - cx) * st + (ys - cy) * ct) - center
+        aligned = jnp.abs(jnp.cos(ang) * ct + jnp.sin(ang) * st) >= cos_tol
+        keep = (pix != 0.0) & (jnp.abs(w_proj) <= gate) & aligned
+        return jnp.where(slot < c_cap, jnp.where(keep, 1.0, 0.0),
+                         jnp.where(dump_keep & (pix != 0.0), 1.0, 0.0)
+                         ).astype(jnp.float32)
+
+    orig_cc, orig_mom, orig_ext, orig_gate = (
+        lsd_cc.cc_tiles, lsd_fit.moments, lsd_fit.extents,
+        lsd_fit.gate_pixels)
+    lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
+    lsd_fit.moments = functools.partial(orig_mom, interpret=True)
+    lsd_fit.extents = functools.partial(orig_ext, interpret=True)
+    try:
+        lsd_fit.gate_pixels = functools.partial(orig_gate, interpret=True)
+        segs_k, ok_k, _ = lsd._lsd_core(jnp.asarray(img), H, W,
+                                        use_pallas_cc=True, seed_center=True)
+        a = np.asarray(segs_k)[np.asarray(ok_k)]
+        lsd_fit.gate_pixels = ref_gate
+        segs_r, ok_r, _ = lsd._lsd_core(jnp.asarray(img), H, W,
+                                        use_pallas_cc=True, seed_center=True)
+        b = np.asarray(segs_r)[np.asarray(ok_r)]
+    finally:
+        lsd_cc.cc_tiles = orig_cc
+        lsd_fit.moments = orig_mom
+        lsd_fit.extents = orig_ext
+        lsd_fit.gate_pixels = orig_gate
+
+    assert len(a) >= 8  # the pipeline actually extracted the drawn lines
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a[np.lexsort(a.T)], b[np.lexsort(b.T)])
