@@ -211,13 +211,15 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
-    "link_cap", "rect_improve", "seed_gate", "seed_center", "next_nc"))
+    "link_cap", "rect_improve", "seed_gate", "seed_center", "side_split",
+    "next_nc"))
 def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                link_tol, do_consume, *, th: int, tw: int, c_cap: int,
                hw2: int, cc_iters: int, refine_iters: int,
                use_pallas_cc: bool, link_cap: int = 0,
                rect_improve: bool = False, seed_gate: bool = False,
-               seed_center: bool = False, next_nc: int = 0):
+               seed_center: bool = False, side_split: bool = False,
+               next_nc: int = 0):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  The annealed rounds share
     compiled subprograms per pixel-list size (the link tolerance is a
@@ -327,7 +329,10 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                 jnp.arctan2(lmax_eig - ixx, ixy),
                 jnp.arctan2(ixy, lmax_eig - iyy),
             )
-            return cx, cy, theta
+            # minor eigenvalue = weighted variance across the axis (w_proj
+            # variance) — the side_split hollow-ness test reads it
+            var_w = 0.5 * (ixx + iyy - disc)
+            return cx, cy, theta, var_w
 
         def _finish_fit(cx, cy, theta, npix, lmin, lmax, wmin, wmax, extra):
             length = lmax - lmin
@@ -352,8 +357,8 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
 
             def fit(pix_f):
                 mom = lsd_fit.moments(slot, xs_s, ys_s, mag_s, pix_f, c_cap)
-                cx, cy, theta = _theta_from_moments(*(mom[i]
-                                                      for i in range(7)))
+                cx, cy, theta, var_w = _theta_from_moments(
+                    *(mom[i] for i in range(7)))
                 npix = mom[6]
                 tables = _tables(jnp.cos(theta), jnp.sin(theta), cx, cy,
                                  jnp.full((c_cap,), big))
@@ -364,7 +369,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                                       c_cap, sb=sb)
                 return _finish_fit(cx, cy, theta, npix,
                                    ext[0], -ext[2], ext[1], -ext[3],
-                                   dict(tables=tables))
+                                   dict(tables=tables, var_w=var_w))
 
             def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
                 # table row 5 = optional band center on the rect normal
@@ -383,7 +388,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                 mom = [seg_sum(wgt), seg_sum(wgt * xs_s), seg_sum(wgt * ys_s),
                        seg_sum(wgt * xs_s * xs_s), seg_sum(wgt * ys_s * ys_s),
                        seg_sum(wgt * xs_s * ys_s), seg_sum(pix_f)]
-                cx, cy, theta = _theta_from_moments(*mom)
+                cx, cy, theta, var_w = _theta_from_moments(*mom)
                 npix = mom[6]
                 ct, st = jnp.cos(theta), jnp.sin(theta)
 
@@ -401,7 +406,8 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                 return _finish_fit(cx, cy, theta, npix,
                                    seg_min(l_proj), seg_max(l_proj),
                                    seg_min(w_proj), seg_max(w_proj),
-                                   dict(w_proj=w_proj, ct_p=ct_p, st_p=st_p))
+                                   dict(w_proj=w_proj, ct_p=ct_p, st_p=st_p,
+                                        var_w=var_w))
 
             def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
                 gate_p = expand(gate_vec, big if dump_keep else -1.0)
@@ -417,6 +423,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         # density refinement (lsd.cpp `refine`/`reduce_region_radius`):
         # failing components shrink toward their fitted axis and refit
         pix = part_s.astype(jnp.float32)
+        n_split = jnp.int32(0)
         if seed_gate:
             # seed-angle gate on the INITIAL fit (lsd.cpp grows regions from
             # magnitude-ordered seeds and admits pixels aligned within
@@ -447,7 +454,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             gate_all = jnp.full((c_cap,), big)
             pix = gated_pix(f0, gate_all, pix, True)
         f = fit(pix)
-        if seed_center and refine_iters:
+        if (seed_center or side_split) and refine_iters:
             # lsd.cpp reduce_region_radius (lsd.cpp:1296-1358) shrinks a
             # density-failing region toward its SEED pixel, not the fitted
             # axis.  For two close-parallel same-angle lines fused into one
@@ -477,7 +484,34 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             fail = f["density"] < DENSITY_TH
             # encode (fail ? half_w : keep-everything) in one table
             hw_gate = jnp.where(fail, half_w, big)
-            if seed_center and refine_iters:
+            if side_split and refine_iters:
+                # Two close-parallel image lines fused into one CC component
+                # put the fitted axis BETWEEN the lines: the w_proj
+                # distribution is two bands around a hollow middle, which the
+                # symmetric |w_proj| <= half_w shrink guts on both sides and
+                # rounds 2-3 then re-extract only as short fragments.
+                # Detect the hollowness from moments the fit already has —
+                # for a filled band sigma_w/w_ext = 1/sqrt(3) = 0.58, for two
+                # thin equal bands it tends to 1.0 — and keep the SEED's side
+                # whole ([0, wmax] or [wmin, 0] on the rect normal, row-5
+                # band center), releasing the other line full-length for the
+                # next annealed round.  Reference analog: region growing from
+                # per-line seeds never fuses the pair (lsd.cpp:1704-1754).
+                w_ext = jnp.maximum(jnp.abs(f["wmin"]), jnp.abs(f["wmax"]))
+                hollow = (jnp.sqrt(jnp.maximum(f["var_w"], 0.0))
+                          >= 0.70 * w_ext)
+                ct_c = jnp.cos(f["theta"])
+                st_c = jnp.sin(f["theta"])
+                w_seed = (-(x_seed - f["cx"]) * st_c
+                          + (y_seed - f["cy"]) * ct_c)
+                side_ext = jnp.where(w_seed >= 0.0, f["wmax"], f["wmin"])
+                two = fail & hollow & seed_ok & (w_ext >= 1.0)
+                n_split = n_split + jnp.sum(
+                    (two & comp_exists).astype(jnp.int32))
+                gate = jnp.where(two, 0.5 * jnp.abs(side_ext), hw_gate)
+                wc = jnp.where(two, 0.5 * side_ext, 0.0)
+                pix = gated_pix(f, gate, pix, True, center=wc)
+            elif seed_center and refine_iters:
                 ct_c = jnp.cos(f["theta"])
                 st_c = jnp.sin(f["theta"])
                 wc = (-(x_seed - f["cx"]) * st_c
@@ -593,7 +627,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         diag = dict(npix=f["npix"], density=f["density"], log_nfa=log_nfa,
                     length=f["length"], width=f["width"], ncomp=ncomp,
                     link_count=link_count, cc_unconverged=cc_unconverged,
-                    n_alive=n_alive)
+                    n_alive=n_alive, n_split=n_split)
         return segs, ok, active_next, diag, next_compact
 
 
@@ -602,7 +636,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
               use_link_cap: bool = True, rect_improve: bool = False,
               c_cap_scale: int = 1, seed_gate: bool = False,
-              seed_center: bool = False, shrink_scale: float = 0.50):
+              seed_center: bool = False, side_split: bool = False,
+              shrink_scale: float = 0.50):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -655,7 +690,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
             rect_improve=rect_improve, seed_gate=seed_gate,
-            seed_center=seed_center, next_nc=NC2)
+            seed_center=seed_center, side_split=side_split, next_nc=NC2)
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
@@ -798,7 +833,8 @@ def _detect_prep(image: np.ndarray, max_width: int):
 
 def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
                      rect_improve: bool = False, n_rounds: int = 3,
-                     seed_gate: bool = False, seed_center: bool = False):
+                     seed_gate: bool = False, seed_center: bool = False,
+                     side_split: bool = False):
     """Sync a submitted `_detect_compact`, running the (rare) capped-path
     fallbacks, and return host segments in original image coordinates.
 
@@ -814,7 +850,8 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     """
     H, W = img.shape
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
-              seed_gate=seed_gate, seed_center=seed_center)
+              seed_gate=seed_gate, seed_center=seed_center,
+              side_split=side_split)
     pallas_cc = use_pallas_cc
     for _ in range(7):  # each fallback fires at most once + final unpack
         # one batched device_get: the scalar diag reads below would
@@ -882,7 +919,8 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
 
 
 def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
-           seed_gate: bool = False, seed_center: bool = False) -> np.ndarray:
+           seed_gate: bool = False, seed_center: bool = False,
+           side_split: bool = False) -> np.ndarray:
     """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
     original image coordinates.
 
@@ -892,12 +930,13 @@ def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
     """
     return detect_batch([image], max_width=max_width, depth=1,
                         n_rounds=n_rounds, seed_gate=seed_gate,
-                        seed_center=seed_center)[0]
+                        seed_center=seed_center, side_split=side_split)[0]
 
 
 def detect_batch(images, max_width: int = -1, depth: int = 3,
                  rect_improve: bool = False, n_rounds: int = 3,
-                 seed_gate: bool = False, seed_center: bool = False) -> list:
+                 seed_gate: bool = False, seed_center: bool = False,
+                 side_split: bool = False) -> list:
     """Pipelined detection over several images.
 
     JAX dispatch is asynchronous: submitting image i+1's program before
@@ -910,7 +949,8 @@ def detect_batch(images, max_width: int = -1, depth: int = 3,
     """
     use_pallas_cc = jax.default_backend() == "tpu"
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
-              seed_gate=seed_gate, seed_center=seed_center)
+              seed_gate=seed_gate, seed_center=seed_center,
+              side_split=side_split)
     results = []
     inflight: list = []
     for image in images:
@@ -934,13 +974,14 @@ _MAX_RAW_SEGMENTS = 32768
                                               "nc_scale", "use_link_cap",
                                               "rect_improve", "c_cap_scale",
                                               "seg_cap", "seed_gate",
-                                              "seed_center",
+                                              "seed_center", "side_split",
                                               "n_rounds", "shrink_scale"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
                     c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
                     seed_gate: bool = False, seed_center: bool = False,
+                    side_split: bool = False,
                     n_rounds: int = 3, shrink_scale: float = 0.50):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
@@ -951,7 +992,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
                                rect_improve=rect_improve,
                                c_cap_scale=c_cap_scale, seed_gate=seed_gate,
-                               seed_center=seed_center,
+                               seed_center=seed_center, side_split=side_split,
                                shrink_scale=shrink_scale)
     idx = jnp.nonzero(ok, size=seg_cap, fill_value=-1)[0]
     valid = idx >= 0

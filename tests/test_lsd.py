@@ -153,3 +153,29 @@ def test_shrunk_rounds_match_unshrunk():
     assert len(sa) == len(sb) >= 4
     np.testing.assert_allclose(
         np.sort(sa, axis=0), np.sort(sb, axis=0), atol=1e-3)
+
+
+def test_side_split_wiring():
+    # side_split (lsd.cpp has no direct analog; our anti-fusion knob for
+    # close-parallel pairs merged into one CC component) must not disturb
+    # well-separated detections: a 2-px-apart parallel pair is already two
+    # components (the inter-line gap pixels fall below the rho magnitude
+    # threshold), so both paths return the same two long segments and the
+    # hollow-band trigger stays silent.
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 8, size=(96, 200)).astype(np.float32)
+    _draw_segment(img, (15.0, 40.0), (180.0, 44.0))
+    _draw_segment(img, (15.0, 42.0), (180.0, 46.0))
+    d = jnp.asarray(img)
+    outs = {}
+    for ss in (False, True):
+        segs, ok, diag = lsd._lsd_core(d, 96, 200, side_split=ss)
+        s = np.asarray(segs)[np.asarray(ok)]
+        lens = np.hypot(s[:, 2] - s[:, 0], s[:, 3] - s[:, 1])
+        outs[ss] = np.sort(s[lens > 60], axis=0)
+        if ss:
+            assert int(diag["n_split"]) == 0
+    assert len(outs[True]) == len(outs[False]) == 2
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-3)

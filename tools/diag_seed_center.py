@@ -10,7 +10,10 @@ off/on, apply the pipeline's min-length + top-3000 filters, and report:
           ceiling from diag_golden_support (exclusive 0.8244 < achieved
           count_recall 0.847 means close-parallel goldens share segments)
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/diag_seed_center.py [n_views]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/diag_seed_center.py [n_views] [knob]
+
+``knob`` is the detect() keyword to A/B (default ``seed_center``; also
+``side_split``, ``seed_gate``, ``rect_improve``).
 """
 from __future__ import annotations
 
@@ -66,6 +69,7 @@ def main():
     from PIL import Image
 
     n_views = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    knob = sys.argv[2] if len(sys.argv) > 2 else "seed_center"
     cfg = l3d.Config()
     cams_j = json.load(open(CAMS))
     gold_lines = parse_lines3d_txt(GOLDEN)
@@ -86,7 +90,7 @@ def main():
         for key, sc in (("off", False), ("on", True)):
             t0 = time.time()
             raw = np.asarray(lsd_ops.detect(
-                img, max_width=cfg.max_image_width, seed_center=sc), float)
+                img, max_width=cfg.max_image_width, **{knob: sc}), float)
             top = filters(raw, c, cfg)
             cov = residual_coverage(res, top)
             any_c = int(((cov >= 0.6).any(1)).sum())
