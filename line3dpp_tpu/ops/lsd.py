@@ -208,19 +208,16 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
         (key, mag.reshape(-1), angle.reshape(-1)), num_keys=1)
     idx_used = key_s[:NC]
     cvalid = idx_used < HWp
-    xs_c = (idx_used % wp).astype(jnp.float32)
-    ys_c = (idx_used // wp).astype(jnp.float32)
     mag_c = jnp.where(cvalid, mag_s[:NC], 0.0)
     ang_c = jnp.where(cvalid, ang_s[:NC], _BIG_ANGLE)
-    return (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
-            ang_c)
+    return (angle, used, used_count, idx_used, cvalid, mag_c, ang_c)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
     "link_cap", "rect_improve", "seed_gate", "seed_center", "side_split",
     "next_nc"))
-def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
+def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                link_tol, do_consume, *, th: int, tw: int, c_cap: int,
                hw2: int, cc_iters: int, refine_iters: int,
                use_pallas_cc: bool, link_cap: int = 0,
@@ -284,9 +281,14 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
         part = active_c & (lab_c < int_max)
         key = jnp.where(part, lab_c, int_max)
 
-        # --- sort active pixels by component label; payloads ride along ---
-        key_s, xs_s, ys_s, mag_s, ang_s, idx_s = jax.lax.sort(
-            (key, xs_c, ys_c, mag_c, ang_c, idx_used), num_keys=1)
+        # --- sort active pixels by component label; payloads ride along.
+        # x/y are NOT payloads: deriving them from the idx payload after
+        # the sort (2 elementwise ops) is cheaper than moving two extra
+        # f32 planes through the 2.8M-row sort ---
+        key_s, mag_s, ang_s, idx_s = jax.lax.sort(
+            (key, mag_c, ang_c, idx_used), num_keys=1)
+        xs_s = (idx_s % wp).astype(jnp.float32)
+        ys_s = (idx_s // wp).astype(jnp.float32)
         part_s = key_s < int_max
         new_run = part_s & jnp.concatenate(
             [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
@@ -603,11 +605,10 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
             alive = (key_s < int_max) & ~consumed_s
             n_alive = jnp.sum(alive.astype(jnp.int32))
             key2 = jnp.where(alive, 0, 1).astype(jnp.int32)
-            _, idx2, xs2, ys2, mag2, ang2 = jax.lax.sort(
-                (key2, jnp.where(alive, idx_s, HWp), xs_s, ys_s, mag_s,
+            _, idx2, mag2, ang2 = jax.lax.sort(
+                (key2, jnp.where(alive, idx_s, HWp), mag_s,
                  jnp.where(alive, ang_s, _BIG_ANGLE)), num_keys=1)
-            return (active_next, (idx2[:next_nc], xs2[:next_nc],
-                                  ys2[:next_nc], mag2[:next_nc],
+            return (active_next, (idx2[:next_nc], mag2[:next_nc],
                                   ang2[:next_nc]), n_alive)
 
         def _no_consume(_):
@@ -615,7 +616,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c,
                 return active_d
             z = jnp.zeros((next_nc,), jnp.float32)
             return (active_d, (jnp.full((next_nc,), HWp, idx_used.dtype),
-                               z, z, z, z), jnp.int32(0))
+                               z, z), jnp.int32(0))
 
         out_c = jax.lax.cond(do_consume, _consume, _no_consume, operand=None)
         if next_nc:
@@ -644,7 +645,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               use_link_cap: bool = True, rect_improve: bool = False,
               c_cap_scale: int = 1, seed_gate: bool = False,
               seed_center: bool = False, side_split: bool = False,
-              shrink_scale: float = 0.50):
+              shrink_scale: float = 0.50, shrink_scale3: float = 0.45):
     # iteration defaults ablated on testdata: (16, 2) matches (24, 3)'s
     # OpenCV-LSD coverage (0.82 at the >=80%-within-3px criterion)
     """Full detection on an already-loaded (H, W) float32 grayscale image
@@ -661,7 +662,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     remote compile times tractable."""
     h2, w2, th, tw, hp, wp, NC, c_cap = _lsd_statics(H, W, nc_scale,
                                                      c_cap_scale)
-    (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
+    (angle, used, used_count, idx_used, cvalid, mag_c,
      ang_c) = _grad_compact(img, H, W, nc_scale)
 
     # round 1 links at the full 22.5° tolerance; later rounds re-cluster the
@@ -684,20 +685,29 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     # in _detect_finalize
     NC2 = (min(NC, _round_up(int(shrink_scale * h2 * w2) + 1024, 1024))
            if (shrink_scale > 0 and n_rounds > 1) else 0)
+    # round 3 shrinks AGAIN: post-round-2 survivors measured at
+    # 0.239-0.424 of h2*w2 across the 26 testdata images
+    # (tools/diag_round_alive.py; round 2 consumes only ~4% of pixels) —
+    # 0.45 clears the 0.424 max with margin; overflow falls back loudly
+    # via the per-round n_alive diags like the NC2 cap
+    NC3 = (min(NC2, _round_up(int(shrink_scale3 * h2 * w2) + 1024, 1024))
+           if (NC2 and shrink_scale3 > 0 and n_rounds > 2) else NC2)
     all_segs, all_ok, link_counts, ncomps, unconv, alive = [], [], [], [], [], []
     diag = None
     tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
-    cur = (idx_used, cvalid, xs_c, ys_c, mag_c, ang_c)
+    next_caps = [NC2, NC3, NC3][:n_rounds]
+    cur = (idx_used, cvalid, mag_c, ang_c)
     for r, link_tol in enumerate(tols):
-        idx_r, cvalid_r, xs_r, ys_r, mag_r, ang_r = cur
+        idx_r, cvalid_r, mag_r, ang_r = cur
         segs_r, ok_r, active_d, diag, nxt = _lsd_round(
-            angle, active_d, idx_r, cvalid_r, xs_r, ys_r, mag_r, ang_r,
+            angle, active_d, idx_r, cvalid_r, mag_r, ang_r,
             link_tol, jnp.bool_(r + 1 < len(tols)),
             th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
             rect_improve=rect_improve, seed_gate=seed_gate,
-            seed_center=seed_center, side_split=side_split, next_nc=NC2)
+            seed_center=seed_center, side_split=side_split,
+            next_nc=next_caps[r])
         all_segs.append(segs_r)
         all_ok.append(ok_r)
         link_counts.append(diag["link_count"])
@@ -706,8 +716,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         if r + 1 < len(tols):
             alive.append(diag["n_alive"])
         if nxt is not None:
-            idx2, xs2, ys2, mag2, ang2 = nxt
-            cur = (idx2, idx2 < hp * wp, xs2, ys2, mag2, ang2)
+            idx2, mag2, ang2 = nxt
+            cur = (idx2, idx2 < hp * wp, mag2, ang2)
 
     segs = jnp.concatenate(all_segs, axis=0)
     ok = jnp.concatenate(all_ok, axis=0)
@@ -716,9 +726,9 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 link_cap=link_cap,
                 ncomp=jnp.max(jnp.stack(ncomps)),
                 cc_unconverged=jnp.max(jnp.stack(unconv)),
-                n_alive=(jnp.max(jnp.stack(alive)) if alive
-                         else jnp.int32(0)),
-                nc2_cap=NC2)
+                n_alive=(alive[0] if alive else jnp.int32(0)),
+                n_alive2=(alive[1] if len(alive) > 1 else jnp.int32(0)),
+                nc2_cap=NC2, nc3_cap=NC3)
     return segs, ok, diag
 
 
@@ -841,7 +851,7 @@ def _detect_prep(image: np.ndarray, max_width: int):
 def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
                      rect_improve: bool = False, n_rounds: int = 3,
                      seed_gate: bool = False, seed_center: bool = False,
-                     side_split: bool = False):
+                     side_split: bool = False, refine_iters: int = 2):
     """Sync a submitted `_detect_compact`, running the (rare) capped-path
     fallbacks, and return host segments in original image coordinates.
 
@@ -858,14 +868,15 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     H, W = img.shape
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
               seed_gate=seed_gate, seed_center=seed_center,
-              side_split=side_split)
+              side_split=side_split, refine_iters=refine_iters)
     pallas_cc = use_pallas_cc
     for _ in range(7):  # each fallback fires at most once + final unpack
         # one batched device_get: the scalar diag reads below would
         # otherwise each pay a separate relay round trip
         out = jax.device_get(out)
         (segs, ok, n_ok, used_count, nc_cap, link_count, link_cap,
-         ncomp, c_cap, cc_unconv, n_alive, nc2_cap) = out
+         ncomp, c_cap, cc_unconv, n_alive, nc2_cap, n_alive2,
+         nc3_cap) = out
         if pallas_cc and int(cc_unconv) > 0:
             # a CC tile exhausted its in-VMEM sweep budget (geodesically
             # huge component): its labels may fragment one component —
@@ -894,7 +905,14 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
             print(f"[L3D-TPU] LSD: {int(n_alive)} surviving active pixels "
                   f"exceed the {int(nc2_cap)} inter-round cap; re-running "
                   "unshrunk", flush=True)
-            kw.update(shrink_scale=0.0)
+            kw.update(shrink_scale=0.0, shrink_scale3=0.0)
+        elif int(nc3_cap) and int(n_alive2) > int(nc3_cap):
+            # round-3 shrink cap overflow: lift only the round-3 shrink
+            # (rounds 2 stays at NC2, which the check above just cleared)
+            print(f"[L3D-TPU] LSD: {int(n_alive2)} post-round-2 active "
+                  f"pixels exceed the {int(nc3_cap)} round-3 cap; "
+                  "re-running with the round-3 shrink lifted", flush=True)
+            kw.update(shrink_scale3=0.0)
         elif int(ncomp) > c_cap:
             # component-table overflow: components beyond c_cap route to
             # the dump slot and their segments would be silently dropped —
@@ -927,7 +945,7 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
 
 def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
            seed_gate: bool = False, seed_center: bool = False,
-           side_split: bool = False) -> np.ndarray:
+           side_split: bool = False, refine_iters: int = 2) -> np.ndarray:
     """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
     original image coordinates.
 
@@ -937,13 +955,14 @@ def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
     """
     return detect_batch([image], max_width=max_width, depth=1,
                         n_rounds=n_rounds, seed_gate=seed_gate,
-                        seed_center=seed_center, side_split=side_split)[0]
+                        seed_center=seed_center, side_split=side_split,
+                        refine_iters=refine_iters)[0]
 
 
 def detect_batch(images, max_width: int = -1, depth: int = 3,
                  rect_improve: bool = False, n_rounds: int = 3,
                  seed_gate: bool = False, seed_center: bool = False,
-                 side_split: bool = False) -> list:
+                 side_split: bool = False, refine_iters: int = 2) -> list:
     """Pipelined detection over several images.
 
     JAX dispatch is asynchronous: submitting image i+1's program before
@@ -957,7 +976,7 @@ def detect_batch(images, max_width: int = -1, depth: int = 3,
     use_pallas_cc = jax.default_backend() == "tpu"
     kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
               seed_gate=seed_gate, seed_center=seed_center,
-              side_split=side_split)
+              side_split=side_split, refine_iters=refine_iters)
     results = []
     inflight: list = []
     for image in images:
@@ -982,28 +1001,34 @@ _MAX_RAW_SEGMENTS = 32768
                                               "rect_improve", "c_cap_scale",
                                               "seg_cap", "seed_gate",
                                               "seed_center", "side_split",
-                                              "n_rounds", "shrink_scale"))
+                                              "n_rounds", "shrink_scale",
+                                              "shrink_scale3",
+                                              "refine_iters"))
 def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
                     c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
                     seed_gate: bool = False, seed_center: bool = False,
                     side_split: bool = False,
-                    n_rounds: int = 3, shrink_scale: float = 0.50):
+                    n_rounds: int = 3, shrink_scale: float = 0.50,
+                    shrink_scale3: float = 0.45, refine_iters: int = 2):
     """Run the core and compact accepted segments ON DEVICE — the raw
     per-component-slot outputs are ~10 MB per image and must never cross
     the host interconnect uncompacted."""
     img = img.astype(jnp.float32)    # u8 uplink, f32 compute
     segs, ok, diag = _lsd_core(img, H, W, n_rounds=n_rounds,
+                               refine_iters=refine_iters,
                                use_pallas_cc=use_pallas_cc,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
                                rect_improve=rect_improve,
                                c_cap_scale=c_cap_scale, seed_gate=seed_gate,
                                seed_center=seed_center, side_split=side_split,
-                               shrink_scale=shrink_scale)
+                               shrink_scale=shrink_scale,
+                               shrink_scale3=shrink_scale3)
     idx = jnp.nonzero(ok, size=seg_cap, fill_value=-1)[0]
     valid = idx >= 0
     return (segs[jnp.maximum(idx, 0)], valid, jnp.sum(ok.astype(jnp.int32)),
             diag["used_count"], diag["nc_cap"], diag["link_count"],
             diag["link_cap"], diag["ncomp"], diag["c_cap"],
-            diag["cc_unconverged"], diag["n_alive"], diag["nc2_cap"])
+            diag["cc_unconverged"], diag["n_alive"], diag["nc2_cap"],
+            diag["n_alive2"], diag["nc3_cap"])

@@ -36,6 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# One-hot matmul precision: HIGH = bf16x3 on TPU, which is EXACT here —
+# a f32 operand splits into 3 bf16 terms that recompose exactly, the
+# one-hot side is 0/1 (one bf16 term), products hit a f32 accumulator,
+# and one-hot contractions have a single nonzero per output (no
+# cancellation) — at half the MXU passes of HIGHEST (f32, 6 passes).
+_PREC = jax.lax.Precision.HIGH
+
 ROWS = 8              # sublane rows per tile
 LANES = 128
 TILE_N = ROWS * LANES  # 1024 pixels per grid step
@@ -106,7 +113,7 @@ def _moments_kernel(slot_ref, xs_ref, ys_ref, mag_ref, pix_ref, acc_ref,
     res = jax.lax.dot_general(
         feats, oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                   # (8, WIN)
+        precision=_PREC)                   # (8, WIN)
 
     acc_ref[:, pl.ds(lo, WIN)] += res
 
@@ -181,7 +188,7 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
     vals_all = jax.lax.dot_general(
         window, oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                    # (8, 1024)
+        precision=_PREC)                    # (8, 1024)
     grid2 = lambda f: vals_all[f:f + 1, :].reshape(ROWS, LANES)
     ct, st, cx, cy = grid2(0), grid2(1), grid2(2), grid2(3)
     dxp = xs_ref[:] - cx
@@ -237,7 +244,7 @@ def _extent_kernel(slot_ref, xs_ref, ys_ref, pix_ref,
     acc = jax.lax.dot_general(
         feats, oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                    # (8, WIN)
+        precision=_PREC)                    # (8, WIN)
     # components absent from this tile contributed exactly 0 (a present
     # head contributes v - sb != 0 since |v| < sb or v = BIG): keep BIG
     ext = jnp.where(acc == 0.0, BIG, acc + sb)
@@ -264,7 +271,7 @@ def _gate_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
     vals_all = jax.lax.dot_general(
         window, oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                    # (8, 1024)
+        precision=_PREC)                    # (8, 1024)
     grid2 = lambda f: vals_all[f:f + 1, :].reshape(ROWS, LANES)
     ct, st, cx, cy, gate, center = (grid2(0), grid2(1), grid2(2), grid2(3),
                                     grid2(4), grid2(5))
@@ -341,7 +348,7 @@ def _band_counts_kernel(slot_ref, xs_ref, ys_ref, pix_ref, tab_ref, acc_ref,
         vals = jax.lax.dot_general(
             window, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (8, 128)
+            precision=_PREC)                # (8, 128)
         ct, st = vals[0:1, :], vals[1:2, :]
         cx, cy = vals[2:3, :], vals[3:4, :]
         mid, width = vals[4:5, :], vals[5:6, :]
@@ -358,7 +365,7 @@ def _band_counts_kernel(slot_ref, xs_ref, ys_ref, pix_ref, tab_ref, acc_ref,
         return acc + jax.lax.dot_general(
             feats, oh_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # (8, WIN)
+            precision=_PREC)                # (8, WIN)
 
     acc = jax.lax.fori_loop(0, ROWS, row_body,
                             jnp.zeros((ROWS, WIN), jnp.float32))

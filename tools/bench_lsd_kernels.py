@@ -46,8 +46,10 @@ def main():
     h2, w2, th, tw, hp, wp, NC, c_cap = lsd._lsd_statics(H, W, 0.62)
     print(f"NC={NC} c_cap={c_cap} grid {hp}x{wp} tile {th}x{tw}", flush=True)
 
-    (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
+    (angle, used, used_count, idx_used, cvalid, mag_c,
      ang_c) = lsd._grad_compact(dimg, H, W)
+    xs_c = (idx_used % wp).astype(jnp.float32)
+    ys_c = (idx_used // wp).astype(jnp.float32)
     prec = jnp.float32(math.radians(lsd.ANG_TH))
 
     # one real CC pass for realistic labels
@@ -71,13 +73,14 @@ def main():
     active_c = cvalid & used.reshape(-1)[safe_idx]
     key = jnp.where(active_c & (lab_c < int_max), lab_c, int_max)
 
-    sort6 = jax.jit(lambda k, a, b, c, d, e: jax.lax.sort(
-        (k, a, b, c, d, e), num_keys=1))
-    print(f"6-way sort ({NC/1e6:.1f}M) : "
-          f"{timeit(lambda: sort6(key, xs_c, ys_c, mag_c, ang_c, idx_used)):8.1f} ms",
+    sort4 = jax.jit(lambda k, a, b, c: jax.lax.sort(
+        (k, a, b, c), num_keys=1))
+    print(f"4-way sort ({NC/1e6:.1f}M) : "
+          f"{timeit(lambda: sort4(key, mag_c, ang_c, idx_used)):8.1f} ms",
           flush=True)
-    key_s, xs_s, ys_s, mag_s, ang_s, idx_s = sort6(
-        key, xs_c, ys_c, mag_c, ang_c, idx_used)
+    key_s, mag_s, ang_s, idx_s = sort4(key, mag_c, ang_c, idx_used)
+    xs_s = (idx_s % wp).astype(jnp.float32)
+    ys_s = (idx_s // wp).astype(jnp.float32)
 
     @jax.jit
     def scans(key_s):
@@ -147,7 +150,7 @@ def main():
 
     # whole round, compiled standalone (shares the cache with _lsd_core)
     rnd = lambda: lsd._lsd_round(
-        angle, used, idx_used, cvalid, xs_c, ys_c, mag_c, ang_c, prec,
+        angle, used, idx_used, cvalid, mag_c, ang_c, prec,
         jnp.bool_(True),
         th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2, cc_iters=16,
         refine_iters=2, use_pallas_cc=True, link_cap=cap)

@@ -47,13 +47,13 @@ def main():
         h2, w2, th, tw, hp, wp, NC, c_cap = lsd._lsd_statics(H, W, 0.62)
         NC2 = min(NC, lsd._round_up(int(0.50 * h2 * w2) + 1024, 8192))
         t0 = time.perf_counter()
-        (angle, used, used_count, idx_used, cvalid, xs_c, ys_c, mag_c,
+        (angle, used, used_count, idx_used, cvalid, mag_c,
          ang_c) = lsd._grad_compact(jnp.asarray(img), H, W)
         prec_f = jnp.float32(math.radians(lsd.ANG_TH))
         link_cap = (lsd_cc.auto_link_cap((hp, wp), (th, tw))
                     if use_pallas else 0)
         active_d = used
-        cur = (idx_used, cvalid, xs_c, ys_c, mag_c, ang_c)
+        cur = (idx_used, cvalid, mag_c, ang_c)
         alive = []
         for r, link_tol in enumerate((prec_f, prec_f * 0.5, prec_f * 0.25)):
             segs_r, ok_r, active_d, diag, nxt = lsd._lsd_round(
@@ -64,8 +64,8 @@ def main():
             if r < 2:
                 alive.append(int(diag["n_alive"]))
             if nxt is not None:
-                idx2, xs2, ys2, mag2, ang2 = nxt
-                cur = (idx2, idx2 < hp * wp, xs2, ys2, mag2, ang2)
+                idx2, mag2, ang2 = nxt
+                cur = (idx2, idx2 < hp * wp, mag2, ang2)
         dt = time.perf_counter() - t0
         uc = int(used_count)
         hw = h2 * w2
