@@ -692,7 +692,8 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     # via the per-round n_alive diags like the NC2 cap
     NC3 = (min(NC2, _round_up(int(shrink_scale3 * h2 * w2) + 1024, 1024))
            if (NC2 and shrink_scale3 > 0 and n_rounds > 2) else NC2)
-    all_segs, all_ok, link_counts, ncomps, unconv, alive = [], [], [], [], [], []
+    (all_segs, all_ok, link_counts, ncomps, unconv, alive,
+     splits) = [], [], [], [], [], [], []
     diag = None
     tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
     next_caps = [NC2, NC3, NC3][:n_rounds]
@@ -713,6 +714,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         link_counts.append(diag["link_count"])
         ncomps.append(diag["ncomp"])
         unconv.append(diag["cc_unconverged"])
+        splits.append(diag["n_split"])
         if r + 1 < len(tols):
             alive.append(diag["n_alive"])
         if nxt is not None:
@@ -726,6 +728,9 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 link_cap=link_cap,
                 ncomp=jnp.max(jnp.stack(ncomps)),
                 cc_unconverged=jnp.max(jnp.stack(unconv)),
+                # summed across rounds: per-round diags are otherwise
+                # overwritten and early-round side_split triggers vanish
+                n_split=jnp.sum(jnp.stack(splits)),
                 n_alive=(alive[0] if alive else jnp.int32(0)),
                 n_alive2=(alive[1] if len(alive) > 1 else jnp.int32(0)),
                 nc2_cap=NC2, nc3_cap=NC3)

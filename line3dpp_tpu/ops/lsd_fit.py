@@ -36,12 +36,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# One-hot matmul precision: HIGH = bf16x3 on TPU, which is EXACT here —
-# a f32 operand splits into 3 bf16 terms that recompose exactly, the
-# one-hot side is 0/1 (one bf16 term), products hit a f32 accumulator,
-# and one-hot contractions have a single nonzero per output (no
-# cancellation) — at half the MXU passes of HIGHEST (f32, 6 passes).
-_PREC = jax.lax.Precision.HIGH
+# One-hot matmul precision: HIGHEST (f32).  Do NOT "optimize" this to
+# HIGH: the installed JAX 0.9.0 Mosaic lowering rejects HIGH inside
+# Pallas kernels (pallas/mosaic/lowering.py:2254 "Unsupported dot
+# precision"), which broke every TPU detection run in round 4
+# (BENCH_r04 rc=1).  The bf16x3-exactness argument was also wrong:
+# bf16_3x recomposition of an f32 operand is not exact in general.
+# tests/test_lsd_fit.py::test_kernels_lower_for_tpu pins lowerability.
+_PREC = jax.lax.Precision.HIGHEST
 
 ROWS = 8              # sublane rows per tile
 LANES = 128

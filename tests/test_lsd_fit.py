@@ -248,6 +248,17 @@ def test_core_seed_center_gate_wiring(rng):
                          jnp.where(dump_keep & (pix != 0.0), 1.0, 0.0)
                          ).astype(jnp.float32)
 
+    # _lsd_round is jax.jit'ed with identical static args/avals across the
+    # two runs; without clearing its cache the second run would reuse the
+    # first trace and the patched gate would never execute (round-4 advisor
+    # finding: the test compared a run to itself).  Clear the cache before
+    # each run and count ref_gate traces to prove the patch took effect.
+    gate_calls = []
+
+    def counted_ref_gate(*a, **kw):
+        gate_calls.append(1)
+        return ref_gate(*a, **kw)
+
     orig_cc, orig_mom, orig_ext, orig_gate = (
         lsd_cc.cc_tiles, lsd_fit.moments, lsd_fit.extents,
         lsd_fit.gate_pixels)
@@ -256,10 +267,12 @@ def test_core_seed_center_gate_wiring(rng):
     lsd_fit.extents = functools.partial(orig_ext, interpret=True)
     try:
         lsd_fit.gate_pixels = functools.partial(orig_gate, interpret=True)
+        lsd._lsd_round.clear_cache()
         segs_k, ok_k, _ = lsd._lsd_core(jnp.asarray(img), H, W,
                                         use_pallas_cc=True, seed_center=True)
         a = np.asarray(segs_k)[np.asarray(ok_k)]
-        lsd_fit.gate_pixels = ref_gate
+        lsd_fit.gate_pixels = counted_ref_gate
+        lsd._lsd_round.clear_cache()
         segs_r, ok_r, _ = lsd._lsd_core(jnp.asarray(img), H, W,
                                         use_pallas_cc=True, seed_center=True)
         b = np.asarray(segs_r)[np.asarray(ok_r)]
@@ -268,7 +281,9 @@ def test_core_seed_center_gate_wiring(rng):
         lsd_fit.moments = orig_mom
         lsd_fit.extents = orig_ext
         lsd_fit.gate_pixels = orig_gate
+        lsd._lsd_round.clear_cache()
 
+    assert gate_calls, "reference gate was never traced — vacuous compare"
     assert len(a) >= 8  # the pipeline actually extracted the drawn lines
     assert len(a) == len(b)
     np.testing.assert_array_equal(a[np.lexsort(a.T)], b[np.lexsort(b.T)])
