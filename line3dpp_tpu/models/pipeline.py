@@ -1008,5 +1008,19 @@ class Line3D:
     def save_obj(self, path: str) -> None:
         save_obj(path, self.lines3d)
 
-    def save_bin(self, path: str) -> None:
-        save_bin(path, self.lines3d)
+    def save_bin(self, path: str, fmt: str = "boost") -> None:
+        """Save the final model as ``.bin``.
+
+        ``fmt="boost"`` (default) writes the reference's boost binary
+        archive of ``std::vector<FinalLine3D>`` (save3DLinesAsBIN
+        line3D.cc:2690-2711) so downstream Line3D++ tooling can consume
+        the file directly; ``fmt="npz"`` writes the compressed numpy
+        archive (carries the 2D residual endpoint coordinates, which the
+        boost format omits)."""
+        if fmt == "boost":
+            from ..utils.ref_bin import save_bin_boost
+            save_bin_boost(path, self.lines3d)
+        elif fmt == "npz":
+            save_bin(path, self.lines3d)
+        else:
+            raise ValueError(f"unknown bin format {fmt!r}")

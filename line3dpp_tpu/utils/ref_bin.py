@@ -167,6 +167,82 @@ def load_reference_segments_bin(path: str) -> np.ndarray:
     return segs.reshape(-1, 4).astype(np.float64)
 
 
+class _Writer:
+    """Boost binary-archive writer mirroring :class:`_Reader`: class-info
+    blocks are emitted on the first occurrence of each type tag only."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.seen: set = set()
+        self.out += struct.pack("<Q", len(_SIGNATURE)) + _SIGNATURE
+        self.out += struct.pack("<H4B", _LIB_VERSION, 4, 8, 4, 8)
+
+    def put(self, fmt: str, *vals):
+        self.out += struct.pack("<" + fmt, *vals)
+
+    def class_info(self, tag: str, tracked: bool = False):
+        if tag in self.seen:
+            return
+        self.seen.add(tag)
+        if tracked:
+            self.put("BII", 1, 0, 0)     # tracking, object id, class version
+        else:
+            self.put("BI", 0, 0)         # untracked, class version
+
+    def collection_header(self, tag: str, count: int, tracked: bool = False):
+        self.class_info(tag, tracked)
+        self.put("QI", count, 0)         # element count, item version
+
+    def segment3d(self, seg: np.ndarray):
+        self.class_info("Segment3D")
+        p, q = np.asarray(seg[0:3], np.float64), np.asarray(seg[3:6],
+                                                            np.float64)
+        d = q - p
+        n = float(np.linalg.norm(d))
+        if n > 0:
+            d = d / n
+        self.put("f", np.float32(n))
+        self.put("B", 1)
+        self.put("9d", *p, *q, *d)
+
+    def segment2d(self, cam: int, seg: int):
+        self.class_info("Segment2D")
+        self.put("II", int(cam), int(seg))
+
+
+def save_bin_boost(path: str, lines: list[FinalLine3D]) -> None:
+    """Write the final model as a reference-compatible boost binary archive
+    of ``std::vector<FinalLine3D>`` — the exact inverse of
+    :func:`load_reference_bin` (save3DLinesAsBIN line3D.cc:2690-2711), so
+    downstream Line3D++ tooling can consume our ``.bin`` directly.
+
+    The cluster's underlying Segment3D (ignored by readers that only need
+    the collinear segments) is synthesized as the span from the first
+    segment's P1 to the last segment's P2; the cluster reference view is
+    the first residual's camID (0 when there are no residuals)."""
+    w = _Writer()
+    w.collection_header("vector<FinalLine3D>", len(lines), tracked=True)
+    for line in lines:
+        w.class_info("FinalLine3D")
+        segs = np.asarray(line.segments3d, np.float64).reshape(-1, 6)
+        w.collection_header("list<Segment3D>", len(segs))
+        for seg in segs:
+            w.segment3d(seg)
+        w.class_info("LineCluster3D")
+        if len(segs):
+            span = np.concatenate([segs[0, 0:3], segs[-1, 3:6]])
+        else:
+            span = np.zeros(6)
+        w.segment3d(span)
+        res = np.asarray(line.residuals).reshape(-1, 6)
+        w.collection_header("list<Segment2D>", len(res))
+        for r in res:
+            w.segment2d(r[0], r[1])
+        w.put("I", int(res[0, 0]) if len(res) else 0)
+    with open(path, "wb") as fh:
+        fh.write(bytes(w.out))
+
+
 def save_reference_segments_bin(path: str, segments: np.ndarray) -> None:
     """Write a per-image 2D segment cache in the reference's on-disk format
     (the inverse of :func:`load_reference_segments_bin`), so detections can

@@ -94,6 +94,14 @@ def save_bin(path: str, lines: list[FinalLine3D]) -> None:
 
 
 def load_bin(path: str) -> list[FinalLine3D]:
+    """Load a ``.bin`` result, auto-detecting the format: boost binary
+    archives (the reference's format, our default writer) dispatch to
+    :mod:`ref_bin`; zip magic means the npz variant."""
+    with open(path, "rb") as f:
+        head = f.read(30)
+    if b"serialization::archive" in head:
+        from .ref_bin import load_reference_bin
+        return load_reference_bin(path)
     data = np.load(path)
     lines = []
     so = ro = 0
