@@ -51,16 +51,29 @@ def _local_step(
     *,
     epipolar_overlap, knn, two_sig_a_sqr, min_similarity,
     check_orientation, min_best_score, min_best_score_perc, min_affinity,
-    pair_chunk, use_pallas, pallas_interpret,
+    pair_chunk, use_pallas, pallas_interpret, comm="gather",
 ):
-    """Runs inside shard_map; axis name ``views`` is available."""
+    """Runs inside shard_map; axis name ``views`` is available.
+
+    ``comm="tile"`` is a BENCHMARK-ONLY control: every all_gather is
+    replaced by a local tile to the same global shape, so downstream
+    shapes/FLOPs are identical but no collective runs.  Outputs are
+    numerically meaningless in that mode; tools/bench_scaling.py uses the
+    delta real-vs-tile to isolate gather cost under identical host
+    contention on the virtual CPU mesh."""
     Vl, S = mask_local.shape
     N = nbr_local.shape[1]
     k = knn
 
+    if comm == "tile":
+        D = jax.lax.axis_size(AXIS)
+        gather = lambda x: jnp.tile(x, (D,) + (1,) * (x.ndim - 1))
+    else:
+        gather = lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True)
+
     # --- collective 1: segments of all views (targets may be remote) ---
-    seg_all = jax.lax.all_gather(seg_local, AXIS, axis=0, tiled=True)
-    mask_all = jax.lax.all_gather(mask_local, AXIS, axis=0, tiled=True)
+    seg_all = gather(seg_local)
+    mask_all = gather(mask_local)
 
     src_rows = src_base[0] + jnp.arange(Vl, dtype=jnp.int32)
 
@@ -83,7 +96,6 @@ def _local_step(
     k_local = k_reg[src_rows]
 
     # --- collective 2: estimates + median depths for the affinity stage ---
-    gather = lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True)
     tgt_est = affinity_ops.FilteredMatches(
         kept=fm.kept,  # unused on the target side
         est_valid=gather(fm.est_valid),
@@ -133,6 +145,7 @@ def sharded_forward_step(mesh: Mesh, **static_kwargs):
         min_similarity=0.5, check_orientation=True,
         min_best_score=0.75, min_best_score_perc=0.10, min_affinity=0.5,
         pair_chunk=8, use_pallas=False, pallas_interpret=False,
+        comm="gather",
     )
     defaults.update(static_kwargs)
     body = functools.partial(_local_step, **defaults)
