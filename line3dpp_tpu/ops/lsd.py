@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -215,13 +216,14 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
-    "link_cap", "rect_improve", "seed_gate", "seed_center", "side_split",
-    "next_nc"))
+    "link_cap", "rect_improve", "rescue", "seed_gate", "seed_center",
+    "side_split", "next_nc"))
 def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                link_tol, do_consume, *, th: int, tw: int, c_cap: int,
                hw2: int, cc_iters: int, refine_iters: int,
                use_pallas_cc: bool, link_cap: int = 0,
-               rect_improve: bool = False, seed_gate: bool = False,
+               rect_improve: bool = False, rescue: bool = False,
+               seed_gate: bool = False,
                seed_center: bool = False, side_split: bool = False,
                next_nc: int = 0):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
@@ -380,16 +382,18 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                                    ext[0], -ext[2], ext[1], -ext[3],
                                    dict(tables=tables, var_w=var_w))
 
-            def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
+            def gated_pix(f, gate_vec, pix_f, dump_keep, center=None,
+                          cos_tol=None):
                 # table row 5 = optional band center on the rect normal
                 # (the kernel computes |w_proj - center| <= gate; zero
                 # center reproduces the plain symmetric band)
                 tables = f["tables"].at[4, :c_cap].set(gate_vec)
                 if center is not None:
                     tables = tables.at[5, :c_cap].set(center)
-                return lsd_fit.gate_pixels(slot, xs_s, ys_s, ang_s, pix_f,
-                                           tables, jnp.bool_(dump_keep),
-                                           cos_gate, c_cap)
+                return lsd_fit.gate_pixels(
+                    slot, xs_s, ys_s, ang_s, pix_f, tables,
+                    jnp.bool_(dump_keep),
+                    cos_gate if cos_tol is None else cos_tol, c_cap)
         else:
             # --- XLA fallback: segment reductions + monotone gathers ---
             def fit(pix_f):
@@ -418,13 +422,15 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                                    dict(w_proj=w_proj, ct_p=ct_p, st_p=st_p,
                                         var_w=var_w))
 
-            def gated_pix(f, gate_vec, pix_f, dump_keep, center=None):
+            def gated_pix(f, gate_vec, pix_f, dump_keep, center=None,
+                          cos_tol=None):
                 gate_p = expand(gate_vec, big if dump_keep else -1.0)
                 w = f["w_proj"]
                 if center is not None:
                     w = w - expand(center, 0.0)
+                ct = cos_gate if cos_tol is None else cos_tol
                 aligned = jnp.abs(jnp.cos(ang_s) * f["ct_p"]
-                                  + jnp.sin(ang_s) * f["st_p"]) >= cos_gate
+                                  + jnp.sin(ang_s) * f["st_p"]) >= ct
                 keep = ((jnp.abs(w) <= gate_p)
                         & (aligned | (slot >= c_cap)))
                 return pix_f * keep.astype(jnp.float32)
@@ -533,11 +539,11 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
 
         # NFA a-contrario validation (lsd.cpp `nfa`): binomial tail
         # P(X >= k | n, p), p = ANG_TH/180, n = rectangle area, k = aligned
-        def nfa_of(k_cnt, n_area):
+        def nfa_of(k_cnt, n_area, p=p_nfa):
             n_ = jnp.maximum(n_area, 1.0)
             k_ = jnp.minimum(k_cnt, n_)
             tail = jax.scipy.special.betainc(
-                jnp.maximum(k_, 1.0), jnp.maximum(n_ - k_ + 1.0, 1.0), p_nfa)
+                jnp.maximum(k_, 1.0), jnp.maximum(n_ - k_ + 1.0, 1.0), p)
             return -(log_ntests + jnp.log10(jnp.maximum(tail, 1e-300)))
 
         log_nfa = nfa_of(f["npix"], jnp.maximum(f["length"], 1.0) * f["width"])
@@ -548,6 +554,86 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
             & (f["density"] >= DENSITY_TH)
             & (log_nfa > LOG_EPS)
         )
+
+        # band geometry of the rescued/consumed rectangles: offset on the
+        # rect normal + half-width, both in w_proj units (0 = fitted axis)
+        res_center = jnp.zeros((c_cap,), jnp.float32)
+        res_gate = jnp.full((c_cap,), -1.0)
+        rescued = jnp.zeros((c_cap,), bool)
+        if rescue:
+            # lsd.cpp rect_improve (1756-1873) as ONE composed, batched
+            # cascade: finer precision p/2, 5 symmetric width cuts, 5 cuts
+            # of either side (delta = 0.5 px, evaluated in the
+            # s = 2*(w_proj - mid) frame so every retry is linear in
+            # width), keep the best-NFA variant.  Differences from the
+            # round-4 `rect_improve` knob that measured negative:
+            # (a) one-sided cuts + the p/2 retry are included, (b) the
+            # accepted variant's band REPLACES the full rectangle in the
+            # consume step, so pixels the cut released stay alive for
+            # rounds 2-3 instead of starving them (VERDICT r4 next-3),
+            # (c) the emitted segment shifts onto the accepted band's
+            # center line.  Attempted only where the reference would:
+            # density passed, npix >= 5, NFA failed.
+            mid = 0.5 * (f["wmin"] + f["wmax"])
+            width = f["width"]
+            length1 = jnp.maximum(f["length"], 1.0)
+            sym = lambda n: (-1.0, 0.5 * n, 1.0, -0.5 * n)
+            side_a = lambda n: (-1.0, float(n), 1.0, 0.0)
+            side_b = lambda n: (-1.0, 0.0, 1.0, -float(n))
+            bands_1 = tuple(sym(n) for n in (1, 2, 3, 4)) + tuple(
+                side_a(n) for n in (1, 2, 3, 4))
+            bands_2 = tuple(side_b(n) for n in (1, 2, 3, 4)) + (
+                sym(5), side_a(5), side_b(5))
+            # per-variant (half-step count, center offset in w units)
+            steps = [1, 2, 3, 4, 1, 2, 3, 4,
+                     1, 2, 3, 4, 5, 5, 5]
+            offs = ([0.0] * 4 + [0.25, 0.5, 0.75, 1.0]
+                    + [-0.25, -0.5, -0.75, -1.0] + [0.0, 1.25, -1.25])
+            if use_pallas_cc:
+                t2 = (f["tables"].at[4, :c_cap].set(mid)
+                      .at[5, :c_cap].set(width))
+                c1 = lsd_fit.band_counts(slot, xs_s, ys_s, pix, t2, c_cap,
+                                         bands=bands_1)
+                c2 = lsd_fit.band_counts(slot, xs_s, ys_s, pix, t2, c_cap,
+                                         bands=bands_2)
+                counts = jnp.concatenate([c1[:8], c2[:7]], axis=0)
+            else:
+                s_pix = 2.0 * (f["w_proj"] - expand(mid, 0.0))
+                wid_p = expand(width, 0.0)
+                seg_cnt = lambda m: seg_sum(pix * m.astype(jnp.float32))
+                counts = jnp.stack([
+                    seg_cnt((s_pix >= lw * wid_p + lc)
+                            & (s_pix <= hw * wid_p + hc))
+                    for (lw, lc, hw, hc) in bands_1 + bands_2])
+            w_v = width[None, :] - 0.5 * jnp.asarray(steps)[:, None]
+            nfa_v = nfa_of(counts, length1[None, :] * w_v)
+            valid_v = (w_v > 0.5) & (counts >= 5.0)
+            nfa_v = jnp.where(valid_v, nfa_v, -big)
+            # p/2 retry: tighter alignment over the FULL band (the first
+            # rescue lsd.cpp tries; k recounted at 11.25°, area unchanged)
+            pix_half = gated_pix(
+                f, jnp.where(width > 0, 0.5 * width, -1.0), pix, False,
+                center=mid,
+                cos_tol=jnp.float32(math.cos(math.radians(ANG_TH / 2))))
+            k_half = seg_sum(pix_half)
+            nfa_half = jnp.where(k_half >= 5.0,
+                                 nfa_of(k_half, length1 * width,
+                                        p=p_nfa / 2), -big)
+            nfa_all = jnp.concatenate([nfa_half[None, :], nfa_v], axis=0)
+            # every variant's band center in w_proj units: mid + the cut's
+            # asymmetric shift (0.25 px per one-sided half-step)
+            off_all = mid[None, :] + jnp.asarray([0.0] + offs)[:, None]
+            w_all = jnp.concatenate([width[None, :], w_v], axis=0)
+            best = jnp.argmax(nfa_all, axis=0)
+            take = lambda t: jnp.take_along_axis(t, best[None, :],
+                                                 axis=0)[0]
+            nfa_best = take(nfa_all)
+            attempt = comp_exists & (f["npix"] >= 5.0) & ~ok \
+                & (f["density"] >= DENSITY_TH)
+            rescued = attempt & (nfa_best > LOG_EPS)
+            res_center = jnp.where(rescued, take(off_all), 0.0)
+            res_gate = jnp.where(rescued, 0.5 * take(w_all), -1.0)
+            ok = ok | rescued
 
         if rect_improve:
             # lsd.cpp rect_improve (1756-1873): rectangles failing the NFA
@@ -590,9 +676,14 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
         def _consume(_):
             half_final = jnp.maximum(jnp.abs(f["wmin"]),
                                      jnp.abs(f["wmax"])) + 0.75
-            hf_gate = jnp.where(ok, half_final, -1.0)
+            # rescued rectangles consume ONLY their accepted (possibly
+            # one-sided) band — the cut-away pixels stay alive for the
+            # annealed rounds (lsd.cpp releases them per-region via its
+            # seed order; here the partial consume is the batched analog)
+            hf_gate = jnp.where(rescued, res_gate + 0.75,
+                                jnp.where(ok, half_final, -1.0))
             consumed_s = gated_pix(f, hf_gate, part_s.astype(jnp.float32),
-                                   False) != 0.0
+                                   False, center=res_center) != 0.0
             consumed_d = jnp.zeros((HWp,), bool).at[
                 jnp.where(consumed_s, idx_s, HWp)].set(True, mode="drop")
             active_next = active_d & ~consumed_d.reshape(hp, wp)
@@ -625,17 +716,22 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
             active_next, next_compact, n_alive = out_c, None, jnp.int32(0)
 
         # endpoints in subsampled coords -> original coords
-        # (/SCALE upscale as lsd.cpp:2103-2108)
+        # (/SCALE upscale as lsd.cpp:2103-2108); rescued segments shift
+        # onto the accepted band's center line along the rect normal
         cx, cy, theta = f["cx"], f["cy"], f["theta"]
-        ex1 = (cx + f["lmin"] * jnp.cos(theta)) / SCALE
-        ey1 = (cy + f["lmin"] * jnp.sin(theta)) / SCALE
-        ex2 = (cx + f["lmax"] * jnp.cos(theta)) / SCALE
-        ey2 = (cy + f["lmax"] * jnp.sin(theta)) / SCALE
+        ct_e, st_e = jnp.cos(theta), jnp.sin(theta)
+        cx = cx - res_center * st_e
+        cy = cy + res_center * ct_e
+        ex1 = (cx + f["lmin"] * ct_e) / SCALE
+        ey1 = (cy + f["lmin"] * st_e) / SCALE
+        ex2 = (cx + f["lmax"] * ct_e) / SCALE
+        ey2 = (cy + f["lmax"] * st_e) / SCALE
         segs = jnp.stack([ex1, ey1, ex2, ey2], axis=-1)
         diag = dict(npix=f["npix"], density=f["density"], log_nfa=log_nfa,
                     length=f["length"], width=f["width"], ncomp=ncomp,
                     link_count=link_count, cc_unconverged=cc_unconverged,
-                    n_alive=n_alive, n_split=n_split)
+                    n_alive=n_alive, n_split=n_split,
+                    n_rescue=jnp.sum(rescued.astype(jnp.int32)))
         return segs, ok, active_next, diag, next_compact
 
 
@@ -643,6 +739,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
               use_link_cap: bool = True, rect_improve: bool = False,
+              rescue: bool = False,
               c_cap_scale: int = 1, seed_gate: bool = False,
               seed_center: bool = False, side_split: bool = False,
               shrink_scale: float = 0.50, shrink_scale3: float = 0.45):
@@ -693,7 +790,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     NC3 = (min(NC2, _round_up(int(shrink_scale3 * h2 * w2) + 1024, 1024))
            if (NC2 and shrink_scale3 > 0 and n_rounds > 2) else NC2)
     (all_segs, all_ok, link_counts, ncomps, unconv, alive,
-     splits) = [], [], [], [], [], [], []
+     splits, rescues) = [], [], [], [], [], [], [], []
     diag = None
     tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
     next_caps = [NC2, NC3, NC3][:n_rounds]
@@ -706,7 +803,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
             th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
-            rect_improve=rect_improve, seed_gate=seed_gate,
+            rect_improve=rect_improve, rescue=rescue, seed_gate=seed_gate,
             seed_center=seed_center, side_split=side_split,
             next_nc=next_caps[r])
         all_segs.append(segs_r)
@@ -715,6 +812,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         ncomps.append(diag["ncomp"])
         unconv.append(diag["cc_unconverged"])
         splits.append(diag["n_split"])
+        rescues.append(diag["n_rescue"])
         if r + 1 < len(tols):
             alive.append(diag["n_alive"])
         if nxt is not None:
@@ -731,6 +829,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 # summed across rounds: per-round diags are otherwise
                 # overwritten and early-round side_split triggers vanish
                 n_split=jnp.sum(jnp.stack(splits)),
+                n_rescue=jnp.sum(jnp.stack(rescues)),
                 n_alive=(alive[0] if alive else jnp.int32(0)),
                 n_alive2=(alive[1] if len(alive) > 1 else jnp.int32(0)),
                 nc2_cap=NC2, nc3_cap=NC3)
@@ -854,7 +953,8 @@ def _detect_prep(image: np.ndarray, max_width: int):
 
 
 def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
-                     rect_improve: bool = False, n_rounds: int = 3,
+                     rect_improve: bool = False, rescue: bool = False,
+                     n_rounds: int = 3,
                      seed_gate: bool = False, seed_center: bool = False,
                      side_split: bool = False, refine_iters: int = 2):
     """Sync a submitted `_detect_compact`, running the (rare) capped-path
@@ -871,7 +971,7 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
     * accepted-segment transfer cap -> re-run with a larger transfer buffer.
     """
     H, W = img.shape
-    kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
+    kw = dict(rect_improve=rect_improve, rescue=rescue, n_rounds=n_rounds,
               seed_gate=seed_gate, seed_center=seed_center,
               side_split=side_split, refine_iters=refine_iters)
     pallas_cc = use_pallas_cc
@@ -949,6 +1049,7 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
 
 
 def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
+           rescue: bool = False,
            seed_gate: bool = False, seed_center: bool = False,
            side_split: bool = False, refine_iters: int = 2) -> np.ndarray:
     """Detect 2D line segments; returns (n, 4) float64 [x1 y1 x2 y2] in
@@ -959,13 +1060,15 @@ def detect(image: np.ndarray, max_width: int = -1, n_rounds: int = 3,
     here; the min-length/top-k filters live in the pipeline's add_view.
     """
     return detect_batch([image], max_width=max_width, depth=1,
-                        n_rounds=n_rounds, seed_gate=seed_gate,
+                        n_rounds=n_rounds, rescue=rescue,
+                        seed_gate=seed_gate,
                         seed_center=seed_center, side_split=side_split,
                         refine_iters=refine_iters)[0]
 
 
 def detect_batch(images, max_width: int = -1, depth: int = 3,
-                 rect_improve: bool = False, n_rounds: int = 3,
+                 rect_improve: bool = False, rescue: bool = False,
+                 n_rounds: int = 3,
                  seed_gate: bool = False, seed_center: bool = False,
                  side_split: bool = False, refine_iters: int = 2) -> list:
     """Pipelined detection over several images.
@@ -979,7 +1082,7 @@ def detect_batch(images, max_width: int = -1, depth: int = 3,
     slow relay round trips that depth 2 stalls on.
     """
     use_pallas_cc = jax.default_backend() == "tpu"
-    kw = dict(rect_improve=rect_improve, n_rounds=n_rounds,
+    kw = dict(rect_improve=rect_improve, rescue=rescue, n_rounds=n_rounds,
               seed_gate=seed_gate, seed_center=seed_center,
               side_split=side_split, refine_iters=refine_iters)
     results = []
@@ -989,7 +1092,7 @@ def detect_batch(images, max_width: int = -1, depth: int = 3,
         d_img = jnp.asarray(img)
         H, W = img.shape
         inflight.append(
-            (d_img, _detect_compact(d_img, H, W, use_pallas_cc, **kw), ds))
+            (d_img, _detect_dispatch(d_img, H, W, use_pallas_cc, **kw), ds))
         if len(inflight) >= depth:
             d, out, dsf = inflight.pop(0)
             results.append(_detect_finalize(d, out, use_pallas_cc, dsf, **kw))
@@ -1004,7 +1107,8 @@ _MAX_RAW_SEGMENTS = 32768
 @functools.partial(jax.jit, static_argnames=("H", "W", "use_pallas_cc",
                                               "nc_scale", "use_link_cap",
                                               "rect_improve", "c_cap_scale",
-                                              "seg_cap", "seed_gate",
+                                              "seg_cap", "rescue",
+                                              "seed_gate",
                                               "seed_center", "side_split",
                                               "n_rounds", "shrink_scale",
                                               "shrink_scale3",
@@ -1013,6 +1117,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
                     c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
+                    rescue: bool = False,
                     seed_gate: bool = False, seed_center: bool = False,
                     side_split: bool = False,
                     n_rounds: int = 3, shrink_scale: float = 0.50,
@@ -1025,7 +1130,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
                                refine_iters=refine_iters,
                                use_pallas_cc=use_pallas_cc,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
-                               rect_improve=rect_improve,
+                               rect_improve=rect_improve, rescue=rescue,
                                c_cap_scale=c_cap_scale, seed_gate=seed_gate,
                                seed_center=seed_center, side_split=side_split,
                                shrink_scale=shrink_scale,
@@ -1037,3 +1142,107 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
             diag["link_cap"], diag["ncomp"], diag["c_cap"],
             diag["cc_unconverged"], diag["n_alive"], diag["nc2_cap"],
             diag["n_alive2"], diag["nc3_cap"])
+
+
+# --------------------------------------------------------------------------
+# AOT warm start.  The detection program takes 7-15 min to compile on the
+# axon relay, and the relay's multi-tenant worker pool makes JAX's
+# persistent-compilation-cache key drift between sessions (the Mosaic
+# custom-call payload varies with the backend worker, so byte-identical
+# Python programs hash to different cache keys — measured round 5: three
+# fresh processes, three distinct jit__detect_compact keys, 450-570 s
+# recompile each).  `jax.experimental.serialize_executable` bypasses the
+# cache key entirely: tools/warmup_compile.py compiles once and pickles the
+# loaded executable; here we deserialize it (~4 s) and run (~18 s first
+# dispatch) instead of recompiling.  Artifacts are keyed by input shape,
+# static detect args, AND a fingerprint of the three detection modules, so
+# any code edit invalidates them; every failure falls back to normal jit.
+# --------------------------------------------------------------------------
+
+def aot_dir() -> str:
+    return os.environ.get(
+        "L3D_AOT_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_aot"))
+
+
+@functools.lru_cache(maxsize=1)
+def _code_fingerprint() -> str:
+    import hashlib
+
+    from . import lsd_cc, lsd_fit
+
+    h = hashlib.sha256()
+    for mod in (__file__, lsd_fit.__file__, lsd_cc.__file__):
+        with open(mod, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
+
+
+def aot_path(H: int, W: int, use_pallas_cc: bool, kw: dict,
+             dtype: str = "uint8") -> str:
+    import hashlib
+
+    key = hashlib.sha256(repr(sorted(kw.items())).encode()).hexdigest()[:8]
+    return os.path.join(
+        aot_dir(), f"detect_{H}x{W}_{dtype}_p{int(use_pallas_cc)}_{key}_"
+        f"{_code_fingerprint()}.pkl")
+
+
+_aot_loaded: dict = {}
+
+
+def _detect_dispatch(img, H, W, use_pallas_cc, **kw):
+    """`_detect_compact`, served from a serialized AOT executable when one
+    matches (shape, dtype, static args, code fingerprint); plain jit
+    otherwise."""
+    path = aot_path(H, W, use_pallas_cc, kw, dtype=str(img.dtype))
+    fn = _aot_loaded.get(path)
+    if fn is None and os.path.exists(path):
+        import pickle
+
+        from jax.experimental import serialize_executable
+
+        try:
+            with open(path, "rb") as fh:
+                payload = pickle.loads(fh.read())
+            fn = serialize_executable.deserialize_and_load(*payload)
+            print(f"[L3D-TPU] LSD: warm-started from {os.path.basename(path)}",
+                  flush=True)
+        except Exception as e:  # stale/foreign artifact -> recompile
+            print(f"[L3D-TPU] LSD: AOT load failed ({e!r}); compiling",
+                  flush=True)
+            fn = False
+        _aot_loaded[path] = fn
+    if fn:
+        try:
+            return fn(img)
+        except Exception as e:  # relay/runtime mismatch -> recompile
+            print(f"[L3D-TPU] LSD: AOT executable failed ({e!r}); compiling",
+                  flush=True)
+            _aot_loaded[path] = False
+    return _detect_compact(img, H, W, use_pallas_cc, **kw)
+
+
+def aot_warmup(H: int, W: int, use_pallas_cc: bool = True,
+               dtype: str = "uint8", **kw) -> str:
+    """Compile `_detect_compact` for one input shape/dtype and serialize
+    the executable for future processes (tools/warmup_compile.py).
+    ``dtype`` defaults to uint8 — the production uplink dtype
+    (_detect_prep ships u8 frames; f32 only for float image arrays)."""
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    full_kw = dict(rect_improve=False, rescue=False, n_rounds=3,
+                   seed_gate=False, seed_center=False, side_split=False,
+                   refine_iters=2)
+    full_kw.update(kw)
+    path = aot_path(H, W, use_pallas_cc, full_kw, dtype=dtype)
+    os.makedirs(aot_dir(), exist_ok=True)
+    img = jnp.zeros((H, W), jnp.dtype(dtype))
+    compiled = _detect_compact.trace(
+        img, H, W, use_pallas_cc, **full_kw).lower().compile()
+    payload = serialize_executable.serialize(compiled)
+    with open(path, "wb") as fh:
+        fh.write(pickle.dumps(payload))
+    return path

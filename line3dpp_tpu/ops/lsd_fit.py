@@ -327,11 +327,14 @@ def gate_pixels(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
 
 
 def _band_counts_kernel(slot_ref, xs_ref, ys_ref, pix_ref, tab_ref, acc_ref,
-                        *, c_cap: int):
-    """Aligned-pixel counts of every component at 4 reduced rectangle
-    widths (width - 0.5*(b+1), bands centered on the rect mid-line) — the
-    batched analog of lsd.cpp rect_improve's width-reduction retries
-    (lsd.cpp:1756-1873), one pass for all components and all attempts."""
+                        *, c_cap: int, bands: tuple):
+    """Region-pixel counts of every component in up to 8 reduced bands —
+    the batched analog of lsd.cpp rect_improve's width/side-reduction
+    retries (lsd.cpp:1756-1873), one pass for all components and all
+    attempts.  ``bands`` row r = (lo_w, lo_c, hi_w, hi_c): count pixels
+    with ``lo_w*width + lo_c <= 2*(w_proj - mid) <= hi_w*width + hi_c``
+    (symmetric width cuts AND one-sided cuts are both linear in width in
+    this form)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -357,11 +360,16 @@ def _band_counts_kernel(slot_ref, xs_ref, ys_ref, pix_ref, tab_ref, acc_ref,
         dxp = xs_ref[pl.ds(r, 1), :] - cx
         dyp = ys_ref[pl.ds(r, 1), :] - cy
         w_proj = -dxp * st + dyp * ct
-        dist2 = 2.0 * jnp.abs(w_proj - mid)
+        s = 2.0 * (w_proj - mid)
         inpix = jnp.where((pix_r != 0.0) & msk_r, 1.0, 0.0)
+        rows = [
+            inpix * jnp.where(
+                (s >= lo_w * width + lo_c) & (s <= hi_w * width + hi_c),
+                1.0, 0.0)
+            for (lo_w, lo_c, hi_w, hi_c) in bands
+        ]
         feats = jnp.concatenate(
-            [inpix * jnp.where(dist2 <= width - 0.5 * (b + 1), 1.0, 0.0)
-             for b in range(4)] + [jnp.zeros_like(inpix)] * 4, axis=0)
+            rows + [jnp.zeros_like(inpix)] * (ROWS - len(rows)), axis=0)
         loc_m = jnp.where(msk_r, loc_r, WIN + 1)
         oh_t = jnp.where(iota_lw == loc_m.reshape(LANES, 1), 1.0, 0.0)
         return acc + jax.lax.dot_general(
@@ -374,18 +382,27 @@ def _band_counts_kernel(slot_ref, xs_ref, ys_ref, pix_ref, tab_ref, acc_ref,
     acc_ref[:, pl.ds(lo, WIN)] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
+# default bands reproduce the original symmetric width retries:
+# row b counts 2|w_proj - mid| <= width - 0.5 (b+1)
+SYM_BANDS = tuple((-1.0, 0.5 * (b + 1), 1.0, -0.5 * (b + 1))
+                  for b in range(4))
+
+
+@functools.partial(jax.jit, static_argnames=("c_cap", "bands", "interpret"))
 def band_counts(slot, xs, ys, pix, tables, c_cap: int,
-                interpret: bool = False):
-    """Counts of region pixels within 4 width-reduced bands per component.
+                bands: tuple = SYM_BANDS, interpret: bool = False):
+    """Counts of region pixels within up to 8 reduced bands per component.
 
     ``tables`` rows: (cos t, sin t, cx, cy, band mid = (wmin+wmax)/2,
-    width, ...).  Returns ``[8, c_cap]``; row b (0-3) counts pixels with
-    ``2|w_proj - mid| <= width - 0.5 (b+1)``.
+    width, ...).  ``bands`` row r = (lo_w, lo_c, hi_w, hi_c) counts pixels
+    with ``lo_w*width+lo_c <= 2*(w_proj - mid) <= hi_w*width+hi_c``;
+    the default reproduces the 4 symmetric width cuts
+    ``2|w_proj - mid| <= width - 0.5 (b+1)``.  Returns ``[8, c_cap]``.
     """
     n = slot.shape[0]
     assert n % TILE_N == 0, n
     assert tables.shape == (ROWS, c_cap + WIN), tables.shape
+    assert len(bands) <= ROWS, bands
     shape2 = (n // LANES, LANES)
     grid = (n // TILE_N,)
     blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
@@ -393,7 +410,7 @@ def band_counts(slot, xs, ys, pix, tables, c_cap: int,
     full = pl.BlockSpec((ROWS, c_cap + WIN), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_band_counts_kernel, c_cap=c_cap),
+        functools.partial(_band_counts_kernel, c_cap=c_cap, bands=bands),
         grid=grid,
         in_specs=[blk] * 4 + [full],
         out_specs=full,

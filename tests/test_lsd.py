@@ -179,3 +179,34 @@ def test_side_split_wiring():
             assert int(diag["n_split"]) == 0
     assert len(outs[True]) == len(outs[False]) == 2
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-3)
+
+
+def test_rescue_cascade_wiring():
+    """The composed rect_improve cascade (lsd.cpp:1756-1873: p/2 retry +
+    symmetric/one-sided width cuts, batched; ops/lsd.py `rescue`) must
+    only ADD acceptances — segments accepted without it survive — and it
+    must actually fire on a noisy scene (diag n_rescue > 0)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 8, size=(240, 400)).astype(np.float32)
+    for p, q in [((15.0, 20.0), (380.0, 28.0)),
+                 ((40.0, 200.0), (360.0, 60.0)),
+                 ((30.0, 120.0), (370.0, 124.0))]:
+        _draw_segment(img, p, q)
+    d = jnp.asarray(img)
+    segs0, ok0, diag0 = lsd._lsd_core(d, 240, 400)
+    segs1, ok1, diag1 = lsd._lsd_core(d, 240, 400, rescue=True)
+    assert int(diag0["n_rescue"]) == 0
+    n0, n1 = int(np.asarray(ok0).sum()), int(np.asarray(ok1).sum())
+    assert int(diag1["n_rescue"]) > 0
+    assert n1 >= n0
+    # round-1 acceptances are a strict superset: every base-accepted
+    # round-1 segment appears identically with rescue on (later rounds
+    # may legitimately differ through the band-limited consume)
+    c_cap = ok0.shape[0] // 3
+    a = np.asarray(segs0)[:c_cap][np.asarray(ok0)[:c_cap]]
+    b = np.asarray(segs1)[:c_cap][np.asarray(ok1)[:c_cap]]
+    bset = {tuple(np.round(r, 3)) for r in b}
+    missing = [r for r in a if tuple(np.round(r, 3)) not in bset]
+    assert not missing, missing

@@ -207,6 +207,24 @@ def test_band_counts(rng):
         np.add.at(want[b], sc[inb], 1.0)
     np.testing.assert_allclose(got[:4], want, atol=1e-3)
 
+    # asymmetric one-sided bands (the rect_improve side cuts of the
+    # rescue cascade, lsd.cpp:1803-1843): lo_w*width+lo_c <= s <= hi_w*
+    # width+hi_c in the s = 2(w_proj - mid) frame
+    bands = ((-1.0, 1.0, 1.0, 0.0), (-1.0, 0.0, 1.0, -2.0),
+             (-1.0, 3.0, 1.0, -1.0))
+    got2 = np.asarray(lsd_fit.band_counts(
+        jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(pix), jnp.asarray(tables), c_cap, bands=bands,
+        interpret=True))
+    s = 2.0 * (w_proj - mid[sc])
+    want2 = np.zeros((len(bands), c_cap), np.float32)
+    for r, (lw, lc, hw, hc) in enumerate(bands):
+        inb = ((pix != 0) & (slot < c_cap)
+               & (s >= lw * width[sc] + lc) & (s <= hw * width[sc] + hc))
+        np.add.at(want2[r], sc[inb], 1.0)
+    np.testing.assert_allclose(got2[:len(bands)], want2, atol=1e-3)
+    assert not got2[len(bands):].any()
+
 
 def test_core_seed_center_gate_wiring(rng):
     """seed_center=True: the Pallas path passes the seed-anchored band

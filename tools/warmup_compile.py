@@ -1,74 +1,58 @@
-"""Pre-compile the pipeline's device programs for a given image shape.
+"""Pre-compile the TPU detection program and serialize the executable.
 
-The axon relay compiles remotely and takes minutes for the fused detection
-program; every program is stored in the persistent compilation cache
-(/root/repo/.jax_cache), so this is a ONE-TIME cost per machine and image
-shape.  Run this at install time (or first contact with a new camera
-resolution) to move the wait out of the first reconstruction:
+The detection program takes 7-15 min to compile over the axon relay, and
+the relay's multi-tenant worker pool makes the persistent-compilation-
+cache key drift between sessions (byte-identical programs hash to
+different keys — see ops/lsd.py AOT section).  This tool compiles once
+per input shape and pickles the loaded executable into `.jax_aot/`;
+`detect()`/`detect_batch()` then warm-start in ~25 s (4 s deserialize +
+first dispatch) instead of recompiling.
 
-  PYTHONPATH=/root/.axon_site:/root/repo python tools/warmup_compile.py [WxH ...]
+Artifacts are keyed by shape + static detect args + a fingerprint of the
+detection modules, so code edits invalidate them automatically (the old
+files just stop matching; prune with --prune).
 
-Defaults to 3072x2304 (the testdata shape).  Also warms the phase-2
-fused step at the default testdata scale.  Prints per-program wall times;
-the total is the documented cold-compile number (VERDICT r2 #8).
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python tools/warmup_compile.py \
+      [HxW ...] [--prune]
+
+Default shape: 2304x3072 (the bundled testdata / bench image size).
 """
-from __future__ import annotations
 
 import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def main():
-    shapes = []
-    for a in sys.argv[1:]:
-        if "x" in a:
-            w, h = a.split("x")
-            shapes.append((int(h), int(w)))
-    if not shapes:
-        shapes = [(2304, 3072)]
-
-    on_tpu = jax.default_backend() == "tpu"
-    t_all = time.perf_counter()
-
+def main() -> None:
     from line3dpp_tpu.ops import lsd
 
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    shapes = [tuple(int(v) for v in a.split("x")) for a in args] or [
+        (2304, 3072)]
+
+    if "--prune" in sys.argv:
+        fp = lsd._code_fingerprint()
+        for f in os.listdir(lsd.aot_dir()):
+            if f.endswith(".pkl") and fp not in f:
+                os.remove(os.path.join(lsd.aot_dir(), f))
+                print("pruned", f)
+
+    if jax.default_backend() != "tpu":
+        print("warmup_compile: backend is not TPU; nothing to do")
+        return
     for H, W in shapes:
-        t0 = time.perf_counter()
-        img = jnp.zeros((H, W), jnp.uint8)
-        out = lsd._detect_compact(img, H, W, on_tpu)
-        jax.device_get(out[2])
-        print(f"detect program {W}x{H}: {time.perf_counter() - t0:.0f}s",
+        t0 = time.time()
+        path = lsd.aot_warmup(H, W, use_pallas_cc=True)
+        sz = os.path.getsize(path) / 1e6
+        print(f"{H}x{W}: {path} ({sz:.0f} MB) in {time.time() - t0:.0f}s",
               flush=True)
-
-    # phase-2 fused step at testdata scale (V=26, S=3000, N=10, k=10)
-    t0 = time.perf_counter()
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    import bench
-
-    host_args = bench.make_workload(V=26, S=3000, N=10)
-    args = tuple(jnp.asarray(a) for a in host_args)
-    from line3dpp_tpu.models.step import forward_step
-
-    out = forward_step(
-        *args, epipolar_overlap=0.25, knn=10, two_sig_a_sqr=200.0,
-        min_similarity=0.5, check_orientation=True, min_best_score=0.75,
-        min_best_score_perc=0.10, min_affinity=0.5, pair_chunk=8,
-        use_pallas_matching=on_tpu, use_pallas_scoring=on_tpu)
-    float(jnp.sum(out.score3d))
-    print(f"phase-2 step program: {time.perf_counter() - t0:.0f}s",
-          flush=True)
-    print(f"total warmup: {time.perf_counter() - t_all:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
