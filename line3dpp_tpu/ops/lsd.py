@@ -366,8 +366,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                          .at[2, :c_cap].set(cx).at[3, :c_cap].set(cy)
                          .at[4, :c_cap].set(gate))
 
-            def fit(pix_f):
-                mom = lsd_fit.moments(slot, xs_s, ys_s, mag_s, pix_f, c_cap)
+            def fit_tail(mom, pix_f):
                 cx, cy, theta, var_w = _theta_from_moments(
                     *(mom[i] for i in range(7)))
                 npix = mom[6]
@@ -381,6 +380,19 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                 return _finish_fit(cx, cy, theta, npix,
                                    ext[0], -ext[2], ext[1], -ext[3],
                                    dict(tables=tables, var_w=var_w))
+
+            def fit(pix_f):
+                mom = lsd_fit.moments(slot, xs_s, ys_s, mag_s, pix_f, c_cap)
+                return fit_tail(mom, pix_f)
+
+            def gate_fit(f, gate_vec, pix_f, dump_keep):
+                # fused gate + moments (one pixel pass instead of two);
+                # bit-identical to gated_pix followed by fit
+                tables = f["tables"].at[4, :c_cap].set(gate_vec)
+                newpix, mom = lsd_fit.gate_moments(
+                    slot, xs_s, ys_s, ang_s, mag_s, pix_f, tables,
+                    jnp.bool_(dump_keep), cos_gate, c_cap)
+                return newpix, fit_tail(mom, newpix)
 
             def gated_pix(f, gate_vec, pix_f, dump_keep, center=None,
                           cos_tol=None):
@@ -434,6 +446,11 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                 keep = ((jnp.abs(w) <= gate_p)
                         & (aligned | (slot >= c_cap)))
                 return pix_f * keep.astype(jnp.float32)
+
+            def gate_fit(f, gate_vec, pix_f, dump_keep):
+                # XLA fuses the gate into the segment sums on its own
+                newpix = gated_pix(f, gate_vec, pix_f, dump_keep)
+                return newpix, fit(newpix)
 
         # density refinement (lsd.cpp `refine`/`reduce_region_radius`):
         # failing components shrink toward their fitted axis and refit
@@ -534,7 +551,8 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                 wc = jnp.where(fail & seed_ok, wc, 0.0)
                 pix = gated_pix(f, hw_gate, pix, True, center=wc)
             else:
-                pix = gated_pix(f, hw_gate, pix, True)
+                pix, f = gate_fit(f, hw_gate, pix, True)
+                continue
             f = fit(pix)
 
         # NFA a-contrario validation (lsd.cpp `nfa`): binomial tail

@@ -293,6 +293,92 @@ def _gate_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref, pix_ref,
         jnp.where(dump_keep & (pix != 0.0), 1.0, 0.0))
 
 
+def _gate_moments_kernel(scal_ref, slot_ref, xs_ref, ys_ref, ang_ref,
+                         mag_ref, pix_ref, tab_ref, newpix_ref, acc_ref,
+                         *, c_cap: int):
+    """Fused `_gate_kernel` + `_moments_kernel`: the density-refine loop
+    always follows a gate pass with a moments pass over the gated pixels
+    (ops/lsd.py refine loop), which re-reads the same 6 pixel planes —
+    fusing them halves that traffic and shares the one-hot build
+    (~30 ms/round at 2.8M pixels).  Semantically identical to
+    ``gate_pixels`` followed by ``moments`` on its output."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dump_keep = scal_ref[0] != 0.0
+    cos_tol = scal_ref[1]
+    slot = slot_ref[:]                                        # (8, 128)
+    msk = slot < c_cap
+    lo, oh = _onehot_t(slot, c_cap)                           # (WIN, 1024)
+    window = tab_ref[:, pl.ds(lo, WIN)]                       # (8, WIN)
+
+    vals_all = jax.lax.dot_general(
+        window, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PREC)                    # (8, 1024)
+    grid2 = lambda f: vals_all[f:f + 1, :].reshape(ROWS, LANES)
+    ct, st, cx, cy, gate, center = (grid2(0), grid2(1), grid2(2), grid2(3),
+                                    grid2(4), grid2(5))
+    dxp = xs_ref[:] - cx
+    dyp = ys_ref[:] - cy
+    w_proj = (-dxp * st + dyp * ct) - center
+    ang = ang_ref[:]
+    pix = pix_ref[:]
+    aligned = jnp.abs(jnp.cos(ang) * ct + jnp.sin(ang) * st) >= cos_tol
+    keep = (pix != 0.0) & (jnp.abs(w_proj) <= gate) & aligned
+    newpix = jnp.where(
+        msk, jnp.where(keep, 1.0, 0.0),
+        jnp.where(dump_keep & (pix != 0.0), 1.0, 0.0))
+    newpix_ref[:] = newpix
+
+    x = xs_ref[:]
+    y = ys_ref[:]
+    w = mag_ref[:] * newpix
+    feats = jnp.concatenate(
+        [_flat(w), _flat(w * x), _flat(w * y), _flat(w * x * x),
+         _flat(w * y * y), _flat(w * x * y), _flat(newpix),
+         jnp.zeros((1, TILE_N), jnp.float32)], axis=0)        # (8, TILE_N)
+    acc_ref[:, pl.ds(lo, WIN)] += jax.lax.dot_general(
+        feats, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PREC)                   # (8, WIN)
+
+
+@functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
+def gate_moments(slot, xs, ys, ang, mag, pix, tables,
+                 dump_keep: jnp.ndarray, cos_tol: jnp.ndarray, c_cap: int,
+                 interpret: bool = False):
+    """Fused :func:`gate_pixels` + :func:`moments` over the gated output.
+
+    Returns ``(newpix (n,), mom [8, c_cap])`` — bit-identical to calling
+    the two kernels back to back (same formulas, same precision, newpix
+    is exactly 0/1), at roughly the cost of one."""
+    n = slot.shape[0]
+    assert n % TILE_N == 0, n
+    assert tables.shape == (ROWS, c_cap + WIN), tables.shape
+    shape2 = (n // LANES, LANES)
+    grid = (n // TILE_N,)
+    blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((ROWS, c_cap + WIN), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    scal = jnp.stack([jnp.where(dump_keep, 1.0, 0.0).astype(jnp.float32),
+                      cos_tol.astype(jnp.float32)])
+    newpix, acc = pl.pallas_call(
+        functools.partial(_gate_moments_kernel, c_cap=c_cap),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [blk] * 6 + [full],
+        out_specs=[blk, full],
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32),
+                   jax.ShapeDtypeStruct((ROWS, c_cap + WIN), jnp.float32)],
+        interpret=interpret,
+    )(scal, slot.reshape(shape2), xs.reshape(shape2), ys.reshape(shape2),
+      ang.reshape(shape2), mag.reshape(shape2), pix.reshape(shape2), tables)
+    return newpix.reshape(n), acc[:, :c_cap]
+
+
 @functools.partial(jax.jit, static_argnames=("c_cap", "interpret"))
 def gate_pixels(slot, xs, ys, ang, pix, tables, dump_keep: jnp.ndarray,
                 cos_tol: jnp.ndarray, c_cap: int, interpret: bool = False):

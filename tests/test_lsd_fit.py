@@ -105,23 +105,20 @@ def test_core_pallas_path_matches_xla(rng):
                                     use_pallas_cc=False)
     a = np.asarray(segs_x)[np.asarray(ok_x)]
 
-    orig_cc, orig_mom, orig_ext, orig_gate, orig_bc = (
-        lsd_cc.cc_tiles, lsd_fit.moments, lsd_fit.extents,
-        lsd_fit.gate_pixels, lsd_fit.band_counts)
+    names = ("moments", "extents", "gate_pixels", "band_counts",
+             "gate_moments")
+    origs = {n: getattr(lsd_fit, n) for n in names}
+    orig_cc = lsd_cc.cc_tiles
     lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
-    lsd_fit.moments = functools.partial(orig_mom, interpret=True)
-    lsd_fit.extents = functools.partial(orig_ext, interpret=True)
-    lsd_fit.gate_pixels = functools.partial(orig_gate, interpret=True)
-    lsd_fit.band_counts = functools.partial(orig_bc, interpret=True)
+    for n, fn in origs.items():
+        setattr(lsd_fit, n, functools.partial(fn, interpret=True))
     try:
         segs_p, ok_p, _ = lsd._lsd_core(jnp.asarray(img), H, W,
                                         use_pallas_cc=True)
     finally:
         lsd_cc.cc_tiles = orig_cc
-        lsd_fit.moments = orig_mom
-        lsd_fit.extents = orig_ext
-        lsd_fit.gate_pixels = orig_gate
-        lsd_fit.band_counts = orig_bc
+        for n, fn in origs.items():
+            setattr(lsd_fit, n, fn)
     b = np.asarray(segs_p)[np.asarray(ok_p)]
 
     assert len(a) == len(b)
@@ -305,3 +302,37 @@ def test_core_seed_center_gate_wiring(rng):
     assert len(a) >= 8  # the pipeline actually extracted the drawn lines
     assert len(a) == len(b)
     np.testing.assert_array_equal(a[np.lexsort(a.T)], b[np.lexsort(b.T)])
+
+
+def test_gate_moments_equals_gate_then_moments(rng):
+    """The fused refine kernel must be bit-identical to gate_pixels
+    followed by moments on its output (same formulas, same precision,
+    newpix exactly 0/1)."""
+    c_cap = 256
+    slot, xs, ys, mag, pix = _random_sorted_case(rng)
+    ang = rng.uniform(-np.pi, np.pi, len(slot)).astype(np.float32)
+    theta = rng.uniform(-np.pi, np.pi, c_cap).astype(np.float32)
+    tables = np.zeros((8, c_cap + lsd_fit.WIN), np.float32)
+    tables[0, :c_cap] = np.cos(theta)
+    tables[1, :c_cap] = np.sin(theta)
+    tables[2, :c_cap] = rng.uniform(0, 500, c_cap)
+    tables[3, :c_cap] = rng.uniform(0, 300, c_cap)
+    tables[4, :c_cap] = rng.uniform(0.5, 6.0, c_cap)
+    tables[5, :c_cap] = rng.uniform(-2.0, 2.0, c_cap)
+    args = (jnp.asarray(slot), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(ang))
+    targs = (jnp.asarray(tables), jnp.bool_(True), jnp.float32(0.8), c_cap)
+    for dump_keep in (True, False):
+        targs = (jnp.asarray(tables), jnp.bool_(dump_keep),
+                 jnp.float32(0.8), c_cap)
+        newpix, mom = lsd_fit.gate_moments(
+            *args[:3], args[3], jnp.asarray(mag), jnp.asarray(pix),
+            *targs, interpret=True)
+        want_pix = lsd_fit.gate_pixels(
+            *args[:3], args[3], jnp.asarray(pix), *targs, interpret=True)
+        want_mom = lsd_fit.moments(
+            args[0], args[1], args[2], jnp.asarray(mag), want_pix, c_cap,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(newpix),
+                                      np.asarray(want_pix))
+        np.testing.assert_array_equal(np.asarray(mom), np.asarray(want_mom))

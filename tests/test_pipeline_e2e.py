@@ -90,3 +90,44 @@ def test_add_images_matches_add_image(rng, tmp_path):
     for i in range(3):
         np.testing.assert_array_equal(mixed._views[i].segments,
                                       ref._views[i].segments)
+
+
+def test_tiny_segment_filter(rng):
+    """The 3D tiny-segment filter (line3D.cc:2302-2339): swept intervals
+    whose REFERENCE-VIEW projection is shorter than
+    min_line_length_factor * image diagonal are dropped at assembly.
+    The 2D min-length filter is bypassed by raising the factor only
+    AFTER the views are ingested, so the cut is attributable to the 3D
+    filter alone."""
+    import dataclasses
+
+    n_lines = 12
+    P = rng.uniform([-2, -1.5, 6], [2, 1.5, 10], size=(n_lines, 3))
+    d = rng.normal(size=(n_lines, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    Q = P + d * rng.uniform(0.8, 1.6, size=(n_lines, 1))
+
+    K = np.array([[1200.0, 0, 960], [0, 1200.0, 540], [0, 0, 1]])
+    cams = []
+    for i in range(6):
+        R = rotation_from_rpy(rng.normal() * 0.02, -0.06 * i + 0.15,
+                              rng.normal() * 0.02)
+        C = np.array([0.6 * i - 1.5, rng.normal() * 0.05,
+                      rng.normal() * 0.05])
+        cams.append(l3d.Camera(K, R, -R @ C, 1920, 1080))
+
+    pipe = l3d.Line3D(l3d.Config(num_neighbors=5, max_line_segments=100,
+                                 optimize=False))
+    for i, cam in enumerate(cams):
+        segs = np.hstack([cam.project(P), cam.project(Q)])
+        pipe.add_view(i, cam, segs)
+    pipe.match_images()
+    base = len(pipe.reconstruct_3d_lines())
+    assert base >= n_lines * 0.8
+
+    # every reconstructed line projects to a few hundred px; a factor of
+    # 0.5 (half the image diagonal ~ 1100 px) must drop them ALL in the
+    # 3D filter — the 2D segments were admitted under the default factor
+    pipe.config = dataclasses.replace(pipe.config,
+                                      min_line_length_factor=0.5)
+    assert len(pipe.reconstruct_3d_lines()) == 0

@@ -46,6 +46,8 @@ def test_lsd_fit_kernels_lower_for_tpu():
     _lower_tpu(lsd_fit.band_counts, slot, f, f, f, tables, c_cap=c_cap)
     _lower_tpu(lsd_fit.band_counts, slot, f, f, f, tables, c_cap=c_cap,
                bands=((-1.0, 1.0, 1.0, 0.0),) * 7)
+    _lower_tpu(lsd_fit.gate_moments, slot, f, f, f, f, f, tables,
+               jnp.bool_(True), jnp.float32(0.9), c_cap=c_cap)
 
 
 def test_lsd_cc_kernels_lower_for_tpu():
