@@ -41,10 +41,16 @@ def pick_seg_tile(N: int, M: int, knn: int) -> int:
     """Segment tile keeping the kernel's VMEM working set under budget.
 
     The unrolled per-group loop keeps ~n_groups * 6 * (Bt, M, k) buffers
-    live on the VMEM stack; returns < 8 when even the smallest legal tile
-    would overflow (callers then fall back to the XLA path)."""
+    live on the VMEM stack (the N-dependent budget term), AND the per-tile
+    working set scales with tile * M.  Measured against the 16 MB scoped
+    limit: tile=40/M=90/N=9 (scene2) OOMs at 16.61 MB while
+    tile=32/M=100/N=10 fits and tile=16/M=160/N=16 OOMs at 23.91 MB — so
+    BOTH terms bind: keep the historical N-scaled budget and additionally
+    cap tile * M at 3200 (the largest proven-fitting product).  Returns
+    < 8 when even the smallest legal tile would overflow (callers then
+    fall back to the XLA path)."""
     budget = 2_000_000 // max(N * 6 * M * knn, 1)
-    return min(64, (budget // 8) * 8)
+    return min(64, (budget // 8) * 8, ((3200 // max(M, 1)) // 8) * 8)
 
 
 def _kernel(d1_ref, d2_ref, valid_ref,

@@ -41,3 +41,23 @@ def test_pallas_scoring_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
     np.testing.assert_allclose(
         np.asarray(out.score3d), np.asarray(ref.score3d), rtol=2e-4, atol=2e-4)
+
+
+def test_pick_seg_tile_vmem_law():
+    """Regression pin for the round-5 scene2 VMEM OOM (tile=40, M=90 ->
+    16.61 MB > 16 MB scoped limit): the tile choice must respect BOTH the
+    historical N-scaled budget (tile=16 at M=160/N=16 measured 23.91 MB —
+    the pure tile*M cap is NOT sufficient) and tile * M <= 3200 (the
+    largest proven-fitting product; tile=32 at M=100 fits)."""
+    from line3dpp_tpu.ops.scoring_pallas import pick_seg_tile
+
+    # the exact failing shapes must pick smaller tiles than they did
+    assert pick_seg_tile(9, 90, 10) <= 32       # was 40 (OOM)
+    assert pick_seg_tile(16, 160, 10) <= 8      # 16 OOMs
+    # proven-fitting shapes keep their tiles
+    assert pick_seg_tile(10, 100, 10) == 32
+    for N, knn in [(4, 4), (9, 10), (10, 10), (16, 10), (30, 10)]:
+        M = N * knn
+        t = pick_seg_tile(N, M, knn)
+        assert t * M <= 3200 or t < 8
+        assert t % 8 == 0

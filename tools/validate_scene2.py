@@ -106,11 +106,17 @@ def make_cameras(V=10, seed=11):
     cams = []
     for i in range(V):
         # slanted track: baseline has both x and y components so neither
-        # horizontal nor vertical facade edges are epipolar-degenerate
-        C = np.array([-2.7 + 0.55 * i, -0.9 + 0.22 * i + rng.normal() * 0.1,
+        # horizontal nor vertical facade edges are epipolar-degenerate.
+        # The track SPAN is V-independent (t in [0, 9] regardless of V):
+        # at V=6 the old 0.55*i stepping covered only the left half of
+        # the facade and --quick reconstructed almost nothing (7 lines /
+        # recall 0.004, round-5 finding); V=10 reproduces the documented
+        # SECOND_SCENE.md geometry exactly.
+        t = 9.0 * i / max(V - 1, 1)
+        C = np.array([-2.7 + 0.55 * t, -0.9 + 0.22 * t + rng.normal() * 0.1,
                       rng.normal() * 0.25])
-        yaw = -0.05 * (i - V / 2) + rng.normal() * 0.01
-        pitch = 0.02 * (i - V / 2) + rng.normal() * 0.01
+        yaw = -0.05 * (t - 5.0) + rng.normal() * 0.01
+        pitch = 0.02 * (t - 5.0) + rng.normal() * 0.01
         R = rotation_from_rpy(pitch, yaw, rng.normal() * 0.01)
         cams.append(l3d.Camera(K, R, -R @ C, W, H))
     return cams
@@ -152,9 +158,18 @@ def run_config(images, cams, split_t, sym, optimize=False):
     cfg = l3d.Config(num_neighbors=6, optimize=optimize,
                      split_bimodal_t=split_t, match_symmetrization=sym)
     pipe = l3d.Line3D(cfg)
+    # the segment cache is keyed (cam_id, WxH, max_segs) like the
+    # reference's (line3D.cc:296-309) — NOT by pose — so a fixed dir
+    # poisons runs after any camera/geometry change (round-5 finding:
+    # --quick silently scored stale V=10 detections at recall 0.004).
+    # Key the dir on the full camera geometry instead.
+    import hashlib
+    geo = hashlib.sha256(
+        np.concatenate([np.ravel(a) for c in cams
+                        for a in (c.K, c.R, c.t)]).tobytes()).hexdigest()[:12]
     pipe.add_images([(i, cam, img) for i, (cam, img)
                      in enumerate(zip(cams, images))],
-                    cache_dir="/tmp/scene2_cache")  # share detections
+                    cache_dir=f"/tmp/scene2_cache_{geo}")  # share detections
     pipe.match_images()
     lines = pipe.reconstruct_3d_lines()
     return lines
