@@ -31,6 +31,12 @@ class Config:
     # re-admits anti-parallel edges and count-F1 falls to 0.878.
     lsd_rounds: int = 3
     lsd_seed_gate: bool = False
+    # composed rect_improve rescue cascade (lsd.cpp:1756-1873: p/2 retry +
+    # symmetric/one-sided width cuts, band-limited consumption).  The
+    # reference runs rect_improve unconditionally; here it is OFF by
+    # default after measuring NEUTRAL golden-residual support (round 5,
+    # NEXT.md item l) at ~0.15 s/image extra device time.
+    lsd_rescue: bool = False
 
     # --- collinearity (reference: commons.h:48) ---
     collinearity_t: float = -1.0       # <=0 disables collinearity edges

@@ -116,6 +116,7 @@ class Line3D:
         if segs is None:
             segs = lsd_ops.detect(image, max_width=self.config.max_image_width,
                                   n_rounds=self.config.lsd_rounds,
+                                  rescue=self.config.lsd_rescue,
                                   seed_gate=self.config.lsd_seed_gate)
             if cache_dir and self.config.load_segments:
                 segments_cache.store(cache_dir, cam_id, image.shape,
@@ -160,6 +161,7 @@ class Line3D:
         seg_lists = lsd_ops.detect_batch(
             [t[2] for t in todo], max_width=self.config.max_image_width,
             n_rounds=self.config.lsd_rounds,
+            rescue=self.config.lsd_rescue,
             seed_gate=self.config.lsd_seed_gate)
         for (cam_id, camera, image, wps), segs in zip(todo, seg_lists):
             if cache_dir and self.config.load_segments:

@@ -294,19 +294,22 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
         part_s = key_s < int_max
         new_run = part_s & jnp.concatenate(
             [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-        is_last = part_s & jnp.concatenate(
-            [key_s[1:] != key_s[:-1], jnp.ones((1,), bool)])
 
         # runs shorter than 5 pixels can never pass the npix >= 5 acceptance
         # (lsd.cpp region size test) — drop them from component ranking so
         # noise singletons don't exhaust the c_cap table (a 3072x2304 image
-        # has ~500k raw components but only ~tens of k with >= 5 pixels)
-        pos = jnp.arange(NC, dtype=jnp.int32)
-        start_pos = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(new_run, pos, -1))
-        end_pos = jnp.flip(jax.lax.associative_scan(
-            jnp.minimum, jnp.flip(jnp.where(is_last, pos, NC))))
-        big_run = part_s & (end_pos - start_pos + 1 >= 5)
+        # has ~500k raw components but only ~tens of k with >= 5 pixels).
+        # A run head at i starts a >= 5 run iff key_s[i+4] == key_s[i]
+        # (runs are contiguous after the label sort); the flag is then
+        # broadcast to the run's pixels by ONE "last head wins" scan —
+        # encode head as (1 + big) and carry the latest nonzero — instead
+        # of the previous two directional position scans + flips.
+        big_head = new_run & jnp.concatenate(
+            [key_s[4:] == key_s[:-4], jnp.zeros((4,), bool)])
+        enc = jnp.where(new_run, 1 + big_head.astype(jnp.int32), 0)
+        prop = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b > 0, b, a), enc)
+        big_run = part_s & (prop == 2)
 
         new_run = new_run & big_run
         dlab = jnp.cumsum(new_run.astype(jnp.int32)) - 1
