@@ -17,7 +17,9 @@ END-TO-END on the host CPU (XLA CPU backend, tools/bench_cpu_baseline.py)
 0.0568 images/s (458 s, 4-core host, 2026-08-19).  The rounds 1-3
 estimate was 0.1 img/s (phase-2-only corroboration: 217 s = 0.12 img/s);
 the full-pipeline measurement replaces it (VERDICT r3 item 4).
-vs_baseline = images_per_sec / 0.0568.
+A round-5 re-measurement of the updated code gave 0.0527 img/s under
+partial host contention; the HIGHER (harder) 2026-08-19 number is kept
+as the divisor.  vs_baseline = images_per_sec / 0.0568.
 """
 
 import json

@@ -19,6 +19,8 @@ echo "=== synthetic ground-truth drive ==="
 python tools/drive_synthetic.py "$@"
 echo "=== golden testdata reconstruction ==="
 python tools/run_testdata.py "$@"
+echo "=== graft entry (driver contract: compile check + multichip dryrun) ==="
+python __graft_entry__.py
 if [[ "$*" != *--cpu* ]]; then
   echo "=== device bench (driver contract) ==="
   # must print one JSON line and exit 0; any TPU-path regression fails here

@@ -58,6 +58,7 @@ def main():
                    if a.startswith("--rounds=")), 3)
     cams = json.load(open(CAMS))
     cfg = l3d.Config(optimize=optimize, view_block=block, lsd_rounds=rounds,
+                     lsd_rescue="--rescue" in sys.argv,
                      lsd_seed_gate="--no-seed-gate" not in sys.argv)
     if split is not None:
         cfg = dataclasses.replace(cfg, split_bimodal_t=split)
