@@ -1222,6 +1222,7 @@ def aot_path(H: int, W: int, use_pallas_cc: bool, kw: dict,
 
 
 _aot_loaded: dict = {}
+_aot_validated: set = set()
 
 
 def _detect_dispatch(img, H, W, use_pallas_cc, **kw):
@@ -1248,7 +1249,16 @@ def _detect_dispatch(img, H, W, use_pallas_cc, **kw):
         _aot_loaded[path] = fn
     if fn:
         try:
-            return fn(img)
+            out = fn(img)
+            if path not in _aot_validated:
+                # dispatch is async: an executable/worker mismatch would
+                # otherwise only surface at the readback inside
+                # _detect_finalize, past this except.  Force one scalar
+                # readback on the artifact's FIRST use (~20 ms once);
+                # later images skip it.
+                float(out[2])
+                _aot_validated.add(path)
+            return out
         except Exception as e:  # relay/runtime mismatch -> recompile
             print(f"[L3D-TPU] LSD: AOT executable failed ({e!r}); compiling",
                   flush=True)
