@@ -217,15 +217,16 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
     "link_cap", "rect_improve", "rescue", "seed_gate", "seed_center",
-    "side_split", "next_nc"))
+    "side_split", "next_nc", "pallas_gather"))
 def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
-               link_tol, do_consume, *, th: int, tw: int, c_cap: int,
+               link_tol, do_consume, n_valid, *, th: int, tw: int,
+               c_cap: int,
                hw2: int, cc_iters: int, refine_iters: int,
                use_pallas_cc: bool, link_cap: int = 0,
                rect_improve: bool = False, rescue: bool = False,
                seed_gate: bool = False,
                seed_center: bool = False, side_split: bool = False,
-               next_nc: int = 0):
+               next_nc: int = 0, pallas_gather: bool = False):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  The annealed rounds share
     compiled subprograms per pixel-list size (the link tolerance is a
@@ -261,6 +262,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
 
     if True:
         # --- connected components on the dense grid ---
+        gather_ovf = jnp.int32(0)
         if use_pallas_cc:
             lab_d, cc_unconv = lsd_cc.cc_tiles(angle, active_d, link_tol,
                                                tile=(th, tw))
@@ -268,9 +270,32 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
             T, link_count = lsd_cc.merge_tile_labels(
                 lab_d, angle, active_d, link_tol, tile=(th, tw),
                 link_cap=link_cap)
-            lab_c = lab_d.reshape(-1)[safe_idx]
-            lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max,
-                              T[jnp.clip(lab_c, 0, HWp - 1)])
+            if pallas_gather:
+                # windowed Pallas gathers (ops/lsd_gather.py): the merge
+                # map applied tile-locally on the dense grid + a sorted-
+                # index windowed compacted gather — 42 ms vs the 66 ms
+                # XLA serial gathers at round-1 sizes (the full-grid
+                # merge pass does NOT pay off for the shrunken rounds
+                # 2-3, which keep the XLA path).  Tile spans beyond the
+                # window poison their entries and raise gather_ovf; the
+                # caller re-runs with the XLA gathers (loud, like every
+                # other capacity fallback).
+                from . import lsd_gather
+
+                lab2 = lsd_gather.apply_merge_dense(
+                    lab_d, T, (th, tw), int(lsd_cc.INVALID))
+                lab_c, gather_ovf = lsd_gather.gather_sorted(
+                    lab2.reshape(-1), safe_idx, win_rows=512,
+                    fill=2**31 - 1, n_valid=n_valid)
+                # invalid-pixel labels byte-truncate to garbage in the
+                # kernel, but every cvalid+active compacted entry points
+                # at an ACTIVE pixel (valid root < 2^24), and inactive
+                # entries are masked by `part` below regardless of lab_c
+                lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max, lab_c)
+            else:
+                lab_c = lab_d.reshape(-1)[safe_idx]
+                lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max,
+                                  T[jnp.clip(lab_c, 0, HWp - 1)])
         else:
             link_count = jnp.int32(0)
             cc_unconverged = jnp.int32(0)
@@ -764,6 +789,7 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                     length=f["length"], width=f["width"], ncomp=ncomp,
                     link_count=link_count, cc_unconverged=cc_unconverged,
                     n_alive=n_alive, n_split=n_split,
+                    gather_ovf=gather_ovf,
                     n_rescue=jnp.sum(rescued.astype(jnp.int32)))
         return segs, ok, active_next, diag, next_compact
 
@@ -772,7 +798,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
               cc_iters: int = 16, refine_iters: int = 2,
               use_pallas_cc: bool = False, nc_scale: float = 0.62,
               use_link_cap: bool = True, rect_improve: bool = False,
-              rescue: bool = False,
+              rescue: bool = False, use_pallas_gather: bool = True,
               c_cap_scale: int = 1, seed_gate: bool = False,
               seed_center: bool = False, side_split: bool = False,
               shrink_scale: float = 0.50, shrink_scale3: float = 0.45):
@@ -823,17 +849,24 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     NC3 = (min(NC2, _round_up(int(shrink_scale3 * h2 * w2) + 1024, 1024))
            if (NC2 and shrink_scale3 > 0 and n_rounds > 2) else NC2)
     (all_segs, all_ok, link_counts, ncomps, unconv, alive,
-     splits, rescues) = [], [], [], [], [], [], [], []
+     splits, rescues, govf) = [], [], [], [], [], [], [], [], []
     diag = None
     tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
     next_caps = [NC2, NC3, NC3][:n_rounds]
     cur = (idx_used, cvalid, mag_c, ang_c)
     for r, link_tol in enumerate(tols):
         idx_r, cvalid_r, mag_r, ang_r = cur
+        # windowed Pallas gathers only pay off at the full round-1 list
+        # (the dense merge pass is grid-sized, so the shrunken rounds
+        # 2-3 are faster through XLA), and the byte-split select needs
+        # labels < 2^24
+        pg = (use_pallas_gather and use_pallas_cc and r == 0
+              and hp * wp < (1 << 24))
         segs_r, ok_r, active_d, diag, nxt = _lsd_round(
             angle, active_d, idx_r, cvalid_r, mag_r, ang_r,
             link_tol, jnp.bool_(r + 1 < len(tols)),
-            th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2,
+            used_count if r == 0 else jnp.int32(0),
+            th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2, pallas_gather=pg,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
             rect_improve=rect_improve, rescue=rescue, seed_gate=seed_gate,
@@ -846,6 +879,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         unconv.append(diag["cc_unconverged"])
         splits.append(diag["n_split"])
         rescues.append(diag["n_rescue"])
+        govf.append(diag["gather_ovf"])
         if r + 1 < len(tols):
             alive.append(diag["n_alive"])
         if nxt is not None:
@@ -863,6 +897,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
                 # overwritten and early-round side_split triggers vanish
                 n_split=jnp.sum(jnp.stack(splits)),
                 n_rescue=jnp.sum(jnp.stack(rescues)),
+                gather_ovf=jnp.max(jnp.stack(govf)),
                 n_alive=(alive[0] if alive else jnp.int32(0)),
                 n_alive2=(alive[1] if len(alive) > 1 else jnp.int32(0)),
                 nc2_cap=NC2, nc3_cap=NC3)
@@ -1014,8 +1049,16 @@ def _detect_finalize(img: jnp.ndarray, out, use_pallas_cc: bool, ds: float,
         out = jax.device_get(out)
         (segs, ok, n_ok, used_count, nc_cap, link_count, link_cap,
          ncomp, c_cap, cc_unconv, n_alive, nc2_cap, n_alive2,
-         nc3_cap) = out
-        if pallas_cc and int(cc_unconv) > 0:
+         nc3_cap, gather_ovf) = out
+        if int(gather_ovf) > 0:
+            # a compacted-gather tile spanned beyond the Pallas window
+            # (sparse scene with bridging tiles): entries were poisoned,
+            # components would fragment — re-run with the XLA gathers
+            print(f"[L3D-TPU] LSD: {int(gather_ovf)} compacted-gather "
+                  "entries beyond the window; re-running with XLA "
+                  "gathers", flush=True)
+            kw.update(use_pallas_gather=False)
+        elif pallas_cc and int(cc_unconv) > 0:
             # a CC tile exhausted its in-VMEM sweep budget (geodesically
             # huge component): its labels may fragment one component —
             # fall back to the XLA hook+jump CC for this image
@@ -1141,6 +1184,7 @@ _MAX_RAW_SEGMENTS = 32768
                                               "nc_scale", "use_link_cap",
                                               "rect_improve", "c_cap_scale",
                                               "seg_cap", "rescue",
+                                              "use_pallas_gather",
                                               "seed_gate",
                                               "seed_center", "side_split",
                                               "n_rounds", "shrink_scale",
@@ -1150,7 +1194,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
                     use_pallas_cc: bool = False, nc_scale: float = 0.62,
                     use_link_cap: bool = True, rect_improve: bool = False,
                     c_cap_scale: int = 1, seg_cap: int = _MAX_RAW_SEGMENTS,
-                    rescue: bool = False,
+                    rescue: bool = False, use_pallas_gather: bool = True,
                     seed_gate: bool = False, seed_center: bool = False,
                     side_split: bool = False,
                     n_rounds: int = 3, shrink_scale: float = 0.50,
@@ -1164,6 +1208,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
                                use_pallas_cc=use_pallas_cc,
                                nc_scale=nc_scale, use_link_cap=use_link_cap,
                                rect_improve=rect_improve, rescue=rescue,
+                               use_pallas_gather=use_pallas_gather,
                                c_cap_scale=c_cap_scale, seed_gate=seed_gate,
                                seed_center=seed_center, side_split=side_split,
                                shrink_scale=shrink_scale,
@@ -1174,7 +1219,7 @@ def _detect_compact(img: jnp.ndarray, H: int, W: int,
             diag["used_count"], diag["nc_cap"], diag["link_count"],
             diag["link_cap"], diag["ncomp"], diag["c_cap"],
             diag["cc_unconverged"], diag["n_alive"], diag["nc2_cap"],
-            diag["n_alive2"], diag["nc3_cap"])
+            diag["n_alive2"], diag["nc3_cap"], diag["gather_ovf"])
 
 
 # --------------------------------------------------------------------------
@@ -1202,10 +1247,11 @@ def aot_dir() -> str:
 def _code_fingerprint() -> str:
     import hashlib
 
-    from . import lsd_cc, lsd_fit
+    from . import lsd_cc, lsd_fit, lsd_gather
 
     h = hashlib.sha256()
-    for mod in (__file__, lsd_fit.__file__, lsd_cc.__file__):
+    for mod in (__file__, lsd_fit.__file__, lsd_cc.__file__,
+                lsd_gather.__file__):
         with open(mod, "rb") as fh:
             h.update(fh.read())
     return h.hexdigest()[:12]

@@ -45,6 +45,6 @@ def test_corrupt_artifact_falls_back_to_jit(tmp_path, monkeypatch, rng):
         f.write(b"not a pickle of an executable")
     out = lsd._detect_dispatch(jnp.asarray(img), 96, 200, False, **KW)
     # jit fallback produced the normal structured output
-    assert len(out) == 14
+    assert len(out) == 15
     assert lsd._aot_loaded[path] is False  # remembered as bad
     lsd._aot_loaded.clear()

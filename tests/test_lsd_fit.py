@@ -105,13 +105,19 @@ def test_core_pallas_path_matches_xla(rng):
                                     use_pallas_cc=False)
     a = np.asarray(segs_x)[np.asarray(ok_x)]
 
+    import line3dpp_tpu.ops.lsd_gather as lsd_gather
+
     names = ("moments", "extents", "gate_pixels", "band_counts",
              "gate_moments")
     origs = {n: getattr(lsd_fit, n) for n in names}
+    gnames = ("apply_merge_dense", "gather_sorted")
+    gorigs = {n: getattr(lsd_gather, n) for n in gnames}
     orig_cc = lsd_cc.cc_tiles
     lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
     for n, fn in origs.items():
         setattr(lsd_fit, n, functools.partial(fn, interpret=True))
+    for n, fn in gorigs.items():
+        setattr(lsd_gather, n, functools.partial(fn, interpret=True))
     try:
         segs_p, ok_p, _ = lsd._lsd_core(jnp.asarray(img), H, W,
                                         use_pallas_cc=True)
@@ -119,6 +125,8 @@ def test_core_pallas_path_matches_xla(rng):
         lsd_cc.cc_tiles = orig_cc
         for n, fn in origs.items():
             setattr(lsd_fit, n, fn)
+        for n, fn in gorigs.items():
+            setattr(lsd_gather, n, fn)
     b = np.asarray(segs_p)[np.asarray(ok_p)]
 
     assert len(a) == len(b)
@@ -274,12 +282,18 @@ def test_core_seed_center_gate_wiring(rng):
         gate_calls.append(1)
         return ref_gate(*a, **kw)
 
+    import line3dpp_tpu.ops.lsd_gather as lsd_gather
+
     orig_cc, orig_mom, orig_ext, orig_gate = (
         lsd_cc.cc_tiles, lsd_fit.moments, lsd_fit.extents,
         lsd_fit.gate_pixels)
+    gorigs = {n: getattr(lsd_gather, n)
+              for n in ("apply_merge_dense", "gather_sorted")}
     lsd_cc.cc_tiles = functools.partial(orig_cc, interpret=True)
     lsd_fit.moments = functools.partial(orig_mom, interpret=True)
     lsd_fit.extents = functools.partial(orig_ext, interpret=True)
+    for n, fn in gorigs.items():
+        setattr(lsd_gather, n, functools.partial(fn, interpret=True))
     try:
         lsd_fit.gate_pixels = functools.partial(orig_gate, interpret=True)
         lsd._lsd_round.clear_cache()
@@ -296,6 +310,8 @@ def test_core_seed_center_gate_wiring(rng):
         lsd_fit.moments = orig_mom
         lsd_fit.extents = orig_ext
         lsd_fit.gate_pixels = orig_gate
+        for n, fn in gorigs.items():
+            setattr(lsd_gather, n, fn)
         lsd._lsd_round.clear_cache()
 
     assert gate_calls, "reference gate was never traced — vacuous compare"

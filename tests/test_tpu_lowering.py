@@ -50,6 +50,18 @@ def test_lsd_fit_kernels_lower_for_tpu():
                jnp.bool_(True), jnp.float32(0.9), c_cap=c_cap)
 
 
+def test_lsd_gather_kernels_lower_for_tpu():
+    from line3dpp_tpu.ops import lsd_gather
+
+    lab = jnp.zeros((256, 512), jnp.int32)
+    T = jnp.zeros((256 * 512,), jnp.int32)
+    _lower_tpu(lsd_gather.apply_merge_dense, lab, T, tile=(128, 512),
+               invalid=1 << 30)
+    src = jnp.zeros((128 * 4096,), jnp.int32)
+    idx = jnp.zeros((8192,), jnp.int32)
+    _lower_tpu(lsd_gather.gather_sorted, src, idx, win_rows=512)
+
+
 def test_lsd_cc_kernels_lower_for_tpu():
     hp, wp = lsd_cc.TILE_H * 2, lsd_cc.TILE_W * 2
     angle = jnp.zeros((hp, wp), jnp.float32)
