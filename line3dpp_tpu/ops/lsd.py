@@ -217,7 +217,7 @@ def _grad_compact(img: jnp.ndarray, H: int, W: int, nc_scale: float = 0.62):
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "c_cap", "hw2", "cc_iters", "refine_iters", "use_pallas_cc",
     "link_cap", "rect_improve", "rescue", "seed_gate", "seed_center",
-    "side_split", "next_nc", "pallas_gather"))
+    "side_split", "next_nc", "pallas_gather", "pallas_lab_gather"))
 def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                link_tol, do_consume, n_valid, *, th: int, tw: int,
                c_cap: int,
@@ -226,7 +226,8 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                rect_improve: bool = False, rescue: bool = False,
                seed_gate: bool = False,
                seed_center: bool = False, side_split: bool = False,
-               next_nc: int = 0, pallas_gather: bool = False):
+               next_nc: int = 0, pallas_gather: bool = False,
+               pallas_lab_gather: bool = False):
     """One extraction round: CC -> sort-by-label -> rectangle fits ->
     NFA acceptance -> pixel consumption.  The annealed rounds share
     compiled subprograms per pixel-list size (the link tolerance is a
@@ -292,6 +293,19 @@ def _lsd_round(angle, active_d, idx_used, cvalid, mag_c, ang_c,
                 # at an ACTIVE pixel (valid root < 2^24), and inactive
                 # entries are masked by `part` below regardless of lab_c
                 lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max, lab_c)
+            elif pallas_lab_gather:
+                # rounds 2-3: the dense merge pass is grid-sized and does
+                # not pay off at the shrunken pixel lists, but the LAB
+                # half of the lookup still has the sorted-window
+                # structure; the merge map T (scattered roots, no
+                # locality) stays an XLA gather over the windowed result
+                from . import lsd_gather
+
+                lab_raw, gather_ovf = lsd_gather.gather_sorted(
+                    lab_d.reshape(-1), safe_idx, win_rows=512,
+                    fill=2**31 - 1, n_valid=n_valid)
+                lab_c = jnp.where(lab_raw >= lsd_cc.INVALID, int_max,
+                                  T[jnp.clip(lab_raw, 0, HWp - 1)])
             else:
                 lab_c = lab_d.reshape(-1)[safe_idx]
                 lab_c = jnp.where(lab_c >= lsd_cc.INVALID, int_max,
@@ -854,19 +868,31 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
     tols = (prec_f, prec_f * 0.5, prec_f * 0.25)[:n_rounds]
     next_caps = [NC2, NC3, NC3][:n_rounds]
     cur = (idx_used, cvalid, mag_c, ang_c)
+    n_val = used_count
     for r, link_tol in enumerate(tols):
         idx_r, cvalid_r, mag_r, ang_r = cur
         # windowed Pallas gathers only pay off at the full round-1 list
         # (the dense merge pass is grid-sized, so the shrunken rounds
         # 2-3 are faster through XLA), and the byte-split select needs
         # labels < 2^24
-        pg = (use_pallas_gather and use_pallas_cc and r == 0
-              and hp * wp < (1 << 24))
+        small = hp * wp < (1 << 24)
+        pg = use_pallas_gather and use_pallas_cc and r == 0 and small
+        # rounds 2-3 CANNOT use the windowed lab gather yet: the consume
+        # compaction sorts by the alive FLAG only (stable -> the list
+        # stays label-ordered, not index-sorted), so tile spans cover a
+        # component's spatial extent and ~1/3 of entries overflow
+        # (measured 506887 on img000057 round 2).  Making the consume
+        # sort key the pixel index would restore the invariant (and is
+        # cheaper: 3 sort arrays instead of 4) but changes within-
+        # component summation order -> borderline NFA flips; deferred to
+        # round 6 with a fresh-detect revalidation.
+        pgl = False
         segs_r, ok_r, active_d, diag, nxt = _lsd_round(
             angle, active_d, idx_r, cvalid_r, mag_r, ang_r,
             link_tol, jnp.bool_(r + 1 < len(tols)),
-            used_count if r == 0 else jnp.int32(0),
+            n_val,
             th=th, tw=tw, c_cap=c_cap, hw2=h2 * w2, pallas_gather=pg,
+            pallas_lab_gather=pgl,
             cc_iters=cc_iters, refine_iters=refine_iters,
             use_pallas_cc=use_pallas_cc, link_cap=link_cap,
             rect_improve=rect_improve, rescue=rescue, seed_gate=seed_gate,
@@ -885,6 +911,7 @@ def _lsd_core(img: jnp.ndarray, H: int, W: int, n_rounds: int = 3,
         if nxt is not None:
             idx2, mag2, ang2 = nxt
             cur = (idx2, idx2 < hp * wp, mag2, ang2)
+            n_val = diag["n_alive"]
 
     segs = jnp.concatenate(all_segs, axis=0)
     ok = jnp.concatenate(all_ok, axis=0)
