@@ -57,9 +57,13 @@ def main():
     rounds = next((int(a.split("=")[1]) for a in sys.argv
                    if a.startswith("--rounds=")), 3)
     cams = json.load(open(CAMS))
+    # seed_gate defaults OFF, matching Config: every fresh-detect
+    # measurement has it NEGATIVE (round 3: 0.878 vs 0.8855; round 5:
+    # 0.8633 vs 0.8738 CPU-fresh) — the old always-on tool default
+    # contradicted both.  (--no-seed-gate kept for old command lines.)
     cfg = l3d.Config(optimize=optimize, view_block=block, lsd_rounds=rounds,
                      lsd_rescue="--rescue" in sys.argv,
-                     lsd_seed_gate="--no-seed-gate" not in sys.argv)
+                     lsd_seed_gate="--seed-gate" in sys.argv)
     if split is not None:
         cfg = dataclasses.replace(cfg, split_bimodal_t=split)
     relcut = next((float(a.split("=")[1]) for a in sys.argv
